@@ -1,0 +1,66 @@
+"""Benchmark driver: prints ONE JSON line
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Protocol: the reference's headline 15K config — MTransE with its published
+preset (dim 100, batch 5000, Adagrad 0.01, mapping module, early stop on
+valid Hits@1 every 10 epochs from epoch 100; run/args/mtranse_args_15K.json)
+— end-to-end on a synthetic EN-FR-15K-shaped dataset (15K entities and
+~50K triples per KG, 721 split).  The image ships no real OpenEA data, so
+shapes/statistics stand in for content; the measured quantity is the full
+training+eval pipeline wall-time, the same quantity docs/running_time.csv
+reports (126.3 s for MTransE EN-FR 15K V1 on a Xeon E5-2620 + GTX 1080 Ti).
+
+vs_baseline > 1 means faster than the reference.
+"""
+
+import json
+import sys
+import time
+
+
+BASELINE_MTRANSE_15K_S = 126.3  # docs/running_time.csv, EN-FR MTransE 15K(V1)
+
+
+def main():
+    t_setup = time.time()
+    from openea_tpu.config import Args
+    from openea_tpu.data.synthetic import synthesize_kg_pair
+    from openea_tpu.registry import get_model
+
+    kgs = synthesize_kg_pair(
+        num_entities=15000, num_relations=250, num_triples=50000,
+        mode="mapping", edge_keep_prob=0.9, noise_edge_frac=0.1,
+        train_frac=0.2, valid_frac=0.1, seed=42)
+    setup_s = time.time() - t_setup
+
+    args = Args(
+        embedding_module="MTransE", alignment_module="mapping",
+        dim=100, init="unit", ent_l2_norm=True, rel_l2_norm=True,
+        loss_norm="L2", learning_rate=0.01, optimizer="Adagrad",
+        max_epoch=2000, batch_size=5000, alpha=5,
+        start_valid=100, eval_freq=10, stop_metric="hits1",
+        eval_metric="inner", csls=10, top_k=[1, 5, 10, 50],
+        eval_norm=True, is_save=False, seed=1)
+
+    model = get_model("MTransE")()
+    model.set_args(args)
+    model.set_kgs(kgs)
+    model.init()
+
+    t0 = time.time()
+    model.run()
+    model.test(save=False)
+    total_s = time.time() - t0
+
+    result = {
+        "metric": "mtranse_15k_e2e_wall_time",
+        "value": round(total_s, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_MTRANSE_15K_S / total_s, 3),
+        "setup_s": round(setup_s, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,48 @@
+"""CLI: ``python -m openea_tpu.cli.main_from_args <args.json> <dataset> <split>``
+
+Same contract as the reference driver (run/main_from_args.py:79-98):
+positional overrides replace the dataset folder name and split division in
+the JSON preset, then the pipeline is read_kgs -> set_args -> set_kgs ->
+init -> run -> test -> save.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from openea_tpu.config import load_args
+from openea_tpu.data.kg import read_kgs_from_folder
+from openea_tpu.registry import get_model
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 1:
+        print(__doc__)
+        return 1
+    t = time.time()
+    args = load_args(argv[0])
+    if len(argv) >= 2:
+        args.training_data = args.training_data + argv[1] + "/"
+    if len(argv) >= 3:
+        args.dataset_division = argv[2]
+    print(args.embedding_module, args.training_data, args.dataset_division)
+
+    remove_unlinked = args.embedding_module == "RSN4EA"
+    kgs = read_kgs_from_folder(args.training_data, args.dataset_division,
+                               args.alignment_module, args.ordered,
+                               remove_unlinked=remove_unlinked)
+    model = get_model(args.embedding_module)()
+    model.set_args(args)
+    model.set_kgs(kgs)
+    model.init()
+    model.run()
+    model.test(save=True)
+    model.save()
+    print("Total run time = {:.3f} s.".format(time.time() - t))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,82 @@
+"""Alignment evaluation façade.
+
+Same contract and log-line format as the reference
+(modules/finding/evaluation.py:6-33 + alignment.py:13-84) so downstream
+log-parsing tooling works unchanged, but ranking runs entirely on device:
+blocked similarity + exact ranks (no argsort, no process pool).  `accurate`
+vs quick mode in the reference trades argsort for argpartition; on TPU the
+exact rank is the cheap path, so both modes report exact numbers (quick mode
+keeps the reference's reduced printout).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from openea_tpu.ops.ranking import rank_and_argmax, metrics_from_ranks
+
+
+def greedy_alignment(embed1, embed2, top_k, nums_threads=1, metric="inner",
+                     normalize=False, csls_k=0, accurate=True,
+                     block=4096) -> Tuple[set, float, float, float]:
+    """Row i of embed1 is gold-aligned to row i of embed2's first n1 rows.
+
+    Returns (alignment_rest as {(i, argmax_i)}, hits@1, MR, MRR).
+    `nums_threads` is accepted for reference API compat and ignored.
+    """
+    t = time.time()
+    n1 = embed1.shape[0]
+    gold = jnp.arange(n1, dtype=jnp.int32)
+    ranks, best = rank_and_argmax(jnp.asarray(embed1), jnp.asarray(embed2),
+                                  gold, metric=metric, normalize=normalize,
+                                  csls_k=csls_k, block=block)
+    ranks = np.asarray(ranks)
+    best = np.asarray(best)
+    hits, mr, mrr = metrics_from_ranks(ranks, top_k)
+    alignment_rest = set(zip(range(n1), best.tolist()))
+    cost = time.time() - t
+    hits_arr = np.array(hits)
+    if accurate:
+        if csls_k > 0:
+            print("accurate results with csls: csls={}, hits@{} = {}%, mr = {:.3f}, "
+                  "mrr = {:.6f}, time = {:.3f} s ".format(csls_k, top_k, hits_arr, mr, mrr, cost))
+        else:
+            print("accurate results: hits@{} = {}%, mr = {:.3f}, mrr = {:.6f}, "
+                  "time = {:.3f} s ".format(top_k, hits_arr, mr, mrr, cost))
+    else:
+        if csls_k > 0:
+            print("quick results with csls: csls={}, hits@{} = {}%, time = {:.3f} s "
+                  .format(csls_k, top_k, hits_arr, cost))
+        else:
+            print("quick results: hits@{} = {}%, time = {:.3f} s ".format(top_k, hits_arr, cost))
+    return alignment_rest, hits[0], mr, mrr
+
+
+def valid(embeds1, embeds2, mapping, top_k, threads_num=1, metric="inner",
+          normalize=False, csls_k=0, accurate=False):
+    if mapping is not None:
+        embeds1 = jnp.asarray(embeds1) @ jnp.asarray(mapping)
+    _, hits1_12, mr_12, mrr_12 = greedy_alignment(
+        embeds1, embeds2, top_k, threads_num, metric, normalize, csls_k, accurate)
+    return hits1_12, mrr_12
+
+
+def test(embeds1, embeds2, mapping, top_k, threads_num=1, metric="inner",
+         normalize=False, csls_k=0, accurate=True):
+    if mapping is not None:
+        embeds1 = jnp.asarray(embeds1) @ jnp.asarray(mapping)
+    alignment_rest_12, hits1_12, mr_12, mrr_12 = greedy_alignment(
+        embeds1, embeds2, top_k, threads_num, metric, normalize, csls_k, accurate)
+    return alignment_rest_12, hits1_12, mrr_12
+
+
+def early_stop(flag1, flag2, flag):
+    """Stop when the metric fell twice in a row (reference evaluation.py:28)."""
+    if flag <= flag2 <= flag1:
+        print("\n == should early stop == \n")
+        return flag2, flag, True
+    return flag2, flag, False

@@ -1,0 +1,514 @@
+"""BasicModel — the training template every approach extends.
+
+Re-design of the reference's models/basic_model.py:26-413 for TPU:
+
+* one jit-compiled `lax.scan` per epoch (vs per-step session.run with
+  feed_dict over a multiprocessing batch queue, reference :211-236);
+* negative sampling with `jax.random` on device (vs host producer
+  processes, reference train/batch.py:25-120);
+* truncated-neighbor caches as blocked device top-k that stay in HBM
+  (vs host numpy matmul + argpartition, reference batch.py:122-165);
+* evaluation via blocked exact-rank kernels (vs numpy + mp.Pool).
+
+The public 7-call protocol is unchanged: set_args / set_kgs / init / run /
+valid / test / save (+ retest / predict), so reference experiment drivers
+map 1:1.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from openea_tpu.data import read as rd
+from openea_tpu.eval.evaluation import valid as eval_valid, test as eval_test, early_stop
+from openea_tpu.ops import losses as L
+from openea_tpu.ops.initializers import init_embeddings, l2_normalize, orthogonal_init
+from openea_tpu.ops.matching import stable_alignment
+from openea_tpu.ops.neighbors import build_neighbor_table
+from openea_tpu.ops.optim import get_optimizer
+from openea_tpu.ops.sampling import NeighborTable, corrupt_batch, proportional_batch_sizes
+from openea_tpu.ops.similarity import sim as sim_matrix
+from openea_tpu.utils import generate_out_folder
+
+Params = Dict[str, jax.Array]
+
+
+class BasicModel:
+    """Template: TransE-style scorer + optional d×d mapping module."""
+
+    def __init__(self):
+        self.args = None
+        self.kgs = None
+        self.out_folder = None
+        self.params: Params = {}
+        self.opt = None
+        self.opt_state = None
+        self.mapping_opt = None
+        self.mapping_opt_state = None
+        self.key = None
+        self.flag1 = -1
+        self.flag2 = -1
+        self.early_stop = False
+        self._epoch_fn_cache = {}
+
+    # ------------------------------------------------------------------ #
+    # protocol
+    # ------------------------------------------------------------------ #
+
+    def set_args(self, args):
+        self.args = args
+        self.out_folder = generate_out_folder(
+            args.output, args.training_data, args.dataset_division,
+            self.__class__.__name__)
+
+    def set_kgs(self, kgs):
+        self.kgs = kgs
+
+    def init(self):
+        self.check_args()
+        self.key = jax.random.PRNGKey(self.args.seed)
+        self.key, k = jax.random.split(self.key)
+        self._define_variables(k)
+        self._define_optimizers()
+        self._prepare_training_arrays()
+
+    def check_args(self):
+        """Per-model hyperparameter contract (reference-style asserts)."""
+
+    # ------------------------------------------------------------------ #
+    # variables / optimizers
+    # ------------------------------------------------------------------ #
+
+    def _uses_mapping(self) -> bool:
+        return self.args.alignment_module == "mapping"
+
+    def _define_variables(self, key: jax.Array):
+        ke, kr, km = jax.random.split(key, 3)
+        n_ent = self.kgs.max_entities_id
+        n_rel = self.kgs.max_relations_id
+        self.params = {
+            "ent_embeds": init_embeddings(ke, (n_ent, self.args.dim),
+                                          self.args.init, self.args.ent_l2_norm),
+            "rel_embeds": init_embeddings(kr, (n_rel, self.args.dim),
+                                          self.args.init, self.args.rel_l2_norm),
+        }
+        if self._uses_mapping():
+            self.params["mapping_mat"] = orthogonal_init(
+                km, (self.args.dim, self.args.dim))
+
+    def _define_optimizers(self):
+        # two independent optimizers = two accumulator sets, matching the
+        # reference's separate triple/mapping TF optimizer instances
+        self.opt = get_optimizer(self.args.optimizer, self.args.learning_rate)
+        self.opt_state = self.opt.init(self.params)
+        if self._uses_mapping():
+            self.mapping_opt = get_optimizer(self.args.optimizer,
+                                             self.args.learning_rate)
+            self.mapping_opt_state = self.mapping_opt.init(self.params)
+
+    # ------------------------------------------------------------------ #
+    # model-specific losses (override points)
+    # ------------------------------------------------------------------ #
+
+    def _lookup(self, params: Params, triples: jax.Array):
+        """Gather + l2-norm reparameterization.
+
+        In the reference, ``ent_l2_norm`` does NOT just normalize the init:
+        ``init_embeddings`` returns ``tf.nn.l2_normalize(variable)``
+        (initializers.py:22-50), i.e. every lookup — in losses AND eval —
+        sees row-normalized embeddings with gradients flowing through the
+        normalization.  We reproduce that by normalizing the gathered rows
+        (cheaper than normalizing the table)."""
+        h = params["ent_embeds"][triples[:, 0]]
+        r = params["rel_embeds"][triples[:, 1]]
+        t = params["ent_embeds"][triples[:, 2]]
+        if self.args.ent_l2_norm:
+            h = l2_normalize(h)
+            t = l2_normalize(t)
+        if self.args.rel_l2_norm:
+            r = l2_normalize(r)
+        return h, r, t
+
+    def _triple_loss(self, params: Params, pos: jax.Array, neg: jax.Array,
+                     pos_w: jax.Array, neg_w: jax.Array) -> jax.Array:
+        phs, prs, pts = self._lookup(params, pos)
+        nhs, nrs, nts = self._lookup(params, neg)
+        return L.get_loss_func(phs, prs, pts, nhs, nrs, nts, self.args,
+                               pos_w=pos_w, neg_w=neg_w)
+
+    def _mapping_loss(self, params: Params, links: jax.Array,
+                      w: jax.Array) -> jax.Array:
+        e1 = params["ent_embeds"][links[:, 0]]
+        e2 = params["ent_embeds"][links[:, 1]]
+        if self.args.ent_l2_norm:
+            e1 = l2_normalize(e1)
+            e2 = l2_normalize(e2)
+        return self.args.alpha * L.mapping_loss(e1, e2, params["mapping_mat"], w=w)
+
+    # ------------------------------------------------------------------ #
+    # training arrays (host, once)
+    # ------------------------------------------------------------------ #
+
+    def _prepare_training_arrays(self):
+        kg1, kg2 = self.kgs.kg1, self.kgs.kg2
+        t1, t2 = kg1.triples, kg2.triples
+        n1, n2 = len(t1), len(t2)
+        bs = self.args.batch_size
+        self._steps = int(math.ceil((n1 + n2) / bs))
+        self._bs1, self._bs2 = proportional_batch_sizes(n1, n2, bs)
+        self._n_real = n1 + n2
+
+        def pad_to(x, rows):
+            pad = rows - len(x)
+            if pad > 0:
+                x = np.concatenate([x, np.zeros((pad, 3), np.int32)], axis=0)
+            return x[:rows]
+
+        rows1 = self._steps * self._bs1
+        rows2 = self._steps * self._bs2
+        self._t1 = jnp.asarray(pad_to(t1, rows1))
+        self._t2 = jnp.asarray(pad_to(t2, rows2))
+        w1 = (np.arange(rows1) < n1).astype(np.float32)
+        w2 = (np.arange(rows2) < n2).astype(np.float32)
+        # masks are permuted together with the triples, so they are carried
+        # as arrays (shuffle moves real rows anywhere)
+        self._w1 = jnp.asarray(w1)
+        self._w2 = jnp.asarray(w2)
+        self._ents1 = jnp.asarray(kg1.entities)
+        self._ents2 = jnp.asarray(kg2.entities)
+        self._links = jnp.asarray(self.kgs.train_links_array)
+        self._neigh1: Optional[NeighborTable] = None
+        self._neigh2: Optional[NeighborTable] = None
+
+    # ------------------------------------------------------------------ #
+    # jitted epoch
+    # ------------------------------------------------------------------ #
+
+    def _make_epoch_fn(self, use_tables: bool):
+        steps, bs1, bs2 = self._steps, self._bs1, self._bs2
+        num_neg = max(1, int(self.args.neg_triple_num))
+        ents1, ents2 = self._ents1, self._ents2
+        opt = self.opt
+
+        def epoch(params, opt_state, key, t1, w1, t2, w2, neigh1, neigh2):
+            k1, k2, kscan = jax.random.split(key, 3)
+            p1 = jax.random.permutation(k1, t1.shape[0])
+            p2 = jax.random.permutation(k2, t2.shape[0])
+            t1s, w1s = t1[p1].reshape(steps, bs1, 3), w1[p1].reshape(steps, bs1)
+            t2s, w2s = t2[p2].reshape(steps, bs2, 3), w2[p2].reshape(steps, bs2)
+            step_keys = jax.random.split(kscan, steps)
+
+            def step(carry, xs):
+                params, opt_state = carry
+                pos1, w1b, pos2, w2b, sk = xs
+                sk1, sk2 = jax.random.split(sk)
+                neg1 = corrupt_batch(sk1, pos1, num_neg, ents1, neigh1)
+                neg2 = corrupt_batch(sk2, pos2, num_neg, ents2, neigh2)
+                pos = jnp.concatenate([pos1, pos2], axis=0)
+                pos_w = jnp.concatenate([w1b, w2b], axis=0)
+                neg = jnp.concatenate([neg1, neg2], axis=0)
+                neg_w = jnp.concatenate(
+                    [jnp.repeat(w1b, num_neg), jnp.repeat(w2b, num_neg)], axis=0)
+
+                def loss_fn(p):
+                    return self._triple_loss(p, pos, neg, pos_w, neg_w)
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (t1s, w1s, t2s, w2s, step_keys))
+            return params, opt_state, jnp.sum(losses)
+
+        return jax.jit(epoch, donate_argnums=(0, 1))
+
+    def _epoch_fn(self, use_tables: bool):
+        if use_tables not in self._epoch_fn_cache:
+            self._epoch_fn_cache[use_tables] = self._make_epoch_fn(use_tables)
+        return self._epoch_fn_cache[use_tables]
+
+    def _make_mapping_epoch_fn(self):
+        steps = self._steps
+        links = self._links
+        n_links = links.shape[0]
+        per_step = max(1, n_links // steps)
+        opt = self.mapping_opt
+
+        def epoch(params, opt_state, key):
+            kperm, kscan = jax.random.split(key)
+            perm = jax.random.permutation(kperm, n_links)
+            rows = steps * per_step
+            # cycle if steps*per_step > n_links (at most one wrap)
+            idx = jnp.concatenate([perm, perm])[:rows].reshape(steps, per_step)
+
+            def step(carry, batch_idx):
+                params, opt_state = carry
+                batch = links[batch_idx]
+
+                def loss_fn(p):
+                    return self._mapping_loss(p, batch, None)
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), idx)
+            return params, opt_state, jnp.sum(losses)
+
+        return jax.jit(epoch, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------ #
+    # epoch drivers
+    # ------------------------------------------------------------------ #
+
+    def launch_triple_training_1epo(self, epoch: int):
+        start = time.time()
+        use_tables = self._neigh1 is not None
+        fn = self._epoch_fn(use_tables)
+        self.key, k = jax.random.split(self.key)
+        self.params, self.opt_state, loss_sum = fn(
+            self.params, self.opt_state, k, self._t1, self._w1, self._t2,
+            self._w2, self._neigh1, self._neigh2)
+        avg = float(loss_sum) / self._n_real
+        print("epoch {}, avg. triple loss: {:.4f}, cost time: {:.4f}s"
+              .format(epoch, avg, time.time() - start))
+
+    def launch_mapping_training_1epo(self, epoch: int):
+        start = time.time()
+        if not hasattr(self, "_mapping_epoch_fn_c"):
+            self._mapping_epoch_fn_c = self._make_mapping_epoch_fn()
+        self.key, k = jax.random.split(self.key)
+        self.params, self.mapping_opt_state, loss_sum = self._mapping_epoch_fn_c(
+            self.params, self.mapping_opt_state, k)
+        n = max(1, self._links.shape[0])
+        print("epoch {}, avg. mapping loss: {:.4f}, cost time: {:.4f}s"
+              .format(epoch, float(loss_sum) / n, time.time() - start))
+
+    def launch_training_1epo(self, epoch: int):
+        self.launch_triple_training_1epo(epoch)
+        if self._uses_mapping():
+            self.launch_mapping_training_1epo(epoch)
+
+    def _regenerate_neighbors(self):
+        t1 = time.time()
+        eps = self.args.truncated_epsilon
+        assert 0.0 < eps < 1.0
+        ent = self._ent_embeds_for_eval()
+        k1 = int((1 - eps) * self.kgs.kg1.entities_num)
+        k2 = int((1 - eps) * self.kgs.kg2.entities_num)
+        max_id = self.kgs.max_entities_id
+        self._neigh1 = build_neighbor_table(ent[self._ents1], self._ents1,
+                                            max(1, k1), max_id)
+        self._neigh2 = build_neighbor_table(ent[self._ents2], self._ents2,
+                                            max(1, k2), max_id)
+        n = self.kgs.kg1.entities_num + self.kgs.kg2.entities_num
+        print("\ngenerating neighbors of {} entities costs {:.3f} s."
+              .format(n, time.time() - t1))
+
+    def run(self):
+        t = time.time()
+        for epoch in range(1, self.args.max_epoch + 1):
+            self.launch_training_1epo(epoch)
+            if epoch >= self.args.start_valid and epoch % self.args.eval_freq == 0:
+                flag = self.valid(self.args.stop_metric)
+                self.flag1, self.flag2, self.early_stop = early_stop(
+                    self.flag1, self.flag2, flag)
+                if self.early_stop or epoch == self.args.max_epoch:
+                    break
+            if (self.args.neg_sampling == "truncated"
+                    and epoch % self.args.truncated_freq == 0):
+                self._regenerate_neighbors()
+        print("Training ends. Total time = {:.3f} s.".format(time.time() - t))
+
+    # ------------------------------------------------------------------ #
+    # evaluation / persistence
+    # ------------------------------------------------------------------ #
+
+    def _ent_embeds_for_eval(self) -> jax.Array:
+        """Hook: embeddings used at eval time (GNN models override).
+        Applies the same l2-norm reparameterization as training lookups
+        (reference eval reads the normalized tensor)."""
+        ent = self.params["ent_embeds"]
+        return l2_normalize(ent) if self.args.ent_l2_norm else ent
+
+    def _rel_embeds_for_eval(self):
+        rel = self.params.get("rel_embeds")
+        if rel is None:
+            return None
+        return l2_normalize(rel) if self.args.rel_l2_norm else rel
+
+    def _mapping_for_eval(self):
+        return self.params.get("mapping_mat")
+
+    def _eval_valid_embeddings(self):
+        ent = self._ent_embeds_for_eval()
+        if len(self.kgs.valid_links) > 0:
+            e1 = ent[jnp.asarray(self.kgs.valid_entities1, jnp.int32)]
+            e2 = ent[jnp.asarray(self.kgs.valid_entities2 +
+                                 self.kgs.test_entities2, jnp.int32)]
+        else:
+            e1 = ent[jnp.asarray(self.kgs.test_entities1, jnp.int32)]
+            e2 = ent[jnp.asarray(self.kgs.test_entities2, jnp.int32)]
+        return e1, e2, self._mapping_for_eval()
+
+    def _eval_test_embeddings(self):
+        ent = self._ent_embeds_for_eval()
+        e1 = ent[jnp.asarray(self.kgs.test_entities1, jnp.int32)]
+        e2 = ent[jnp.asarray(self.kgs.test_entities2, jnp.int32)]
+        return e1, e2, self._mapping_for_eval()
+
+    def valid(self, stop_metric: str):
+        e1, e2, mapping = self._eval_valid_embeddings()
+        hits1, mrr = eval_valid(e1, e2, mapping, self.args.top_k,
+                                metric=self.args.eval_metric,
+                                normalize=self.args.eval_norm,
+                                csls_k=0, accurate=False)
+        return hits1 if stop_metric == "hits1" else mrr
+
+    def test(self, save: bool = True):
+        e1, e2, mapping = self._eval_test_embeddings()
+        rest_12, _, _ = eval_test(e1, e2, mapping, self.args.top_k,
+                                  metric=self.args.eval_metric,
+                                  normalize=self.args.eval_norm,
+                                  csls_k=0, accurate=True)
+        eval_test(e1, e2, mapping, self.args.top_k,
+                  metric=self.args.eval_metric, normalize=self.args.eval_norm,
+                  csls_k=self.args.csls, accurate=True)
+        if save:
+            pairs = [(self.kgs.test_entities1[i], self.kgs.test_entities2[j])
+                     for i, j in rest_12]
+            rd.save_results(self.out_folder, pairs)
+
+    def retest(self):
+        """Reload saved .npy embeddings from the newest sibling run and
+        re-evaluate (reference basic_model.py:140-182)."""
+        parent = os.path.dirname(self.out_folder.rstrip("/"))
+        runs = sorted(os.listdir(parent))
+        folder = os.path.join(parent, runs[0])
+        embeds = np.load(os.path.join(folder, "ent_embeds.npy"))
+        e1 = embeds[self.kgs.test_entities1]
+        e2 = embeds[self.kgs.test_entities2]
+        mapping = None
+        mpath = os.path.join(folder, "mapping_mat.npy")
+        if os.path.exists(mpath):
+            mapping = np.load(mpath)
+        print("conventional test:")
+        eval_test(e1, e2, mapping, self.args.top_k, metric=self.args.eval_metric,
+                  normalize=self.args.eval_norm, csls_k=0, accurate=True)
+        print("conventional reversed test:")
+        if mapping is not None:
+            e1m = np.asarray(jnp.asarray(e1) @ jnp.asarray(mapping))
+            eval_test(e2, e1m, None, self.args.top_k, metric=self.args.eval_metric,
+                      normalize=self.args.eval_norm, csls_k=0, accurate=True)
+            e1 = e1m
+        else:
+            eval_test(e2, e1, None, self.args.top_k, metric=self.args.eval_metric,
+                      normalize=self.args.eval_norm, csls_k=0, accurate=True)
+        print("stable test:")
+        stable_alignment(e1, e2, self.args.eval_metric, self.args.eval_norm,
+                         csls_k=0)
+        print("stable test with csls:")
+        stable_alignment(e1, e2, self.args.eval_metric, self.args.eval_norm,
+                         csls_k=self.args.csls)
+
+    def save(self):
+        ent = np.asarray(self._ent_embeds_for_eval())
+        rel = self._rel_embeds_for_eval()
+        rel = np.asarray(rel) if rel is not None else None
+        mapping = self.params.get("mapping_mat")
+        mapping = np.asarray(mapping) if mapping is not None else None
+        rd.save_embeddings(self.out_folder, self.kgs, ent, rel, None,
+                           mapping_mat=mapping)
+        print("Embeddings saved!")
+
+    # ------------------------------------------------------------------ #
+    # prediction API (reference basic_model.py:292-413)
+    # ------------------------------------------------------------------ #
+
+    def predict(self, top_k: int = 1, min_sim_value: Optional[float] = None,
+                output_file_name: Optional[str] = None):
+        ent = self._ent_embeds_for_eval()
+        e1 = ent[self._ents1]
+        e2 = ent[self._ents2]
+        mapping = self._mapping_for_eval()
+        if mapping is not None:
+            e1 = e1 @ mapping
+        s = sim_matrix(e1, e2, metric=self.args.eval_metric,
+                       normalize=self.args.eval_norm, csls_k=0)
+        matched = set()
+        s_np = np.asarray(s)
+        if top_k:
+            _, idx_r = jax.lax.top_k(s, min(top_k, s.shape[1]))
+            _, idx_c = jax.lax.top_k(s.T, min(top_k, s.shape[0]))
+            idx_r, idx_c = np.asarray(idx_r), np.asarray(idx_c)
+            for i in range(s_np.shape[0]):
+                for j in idx_r[i]:
+                    matched.add((i, int(j)))
+            for j in range(s_np.shape[1]):
+                for i in idx_c[j]:
+                    matched.add((int(i), j))
+            if min_sim_value:
+                matched = {(i, j) for i, j in matched if s_np[i, j] > min_sim_value}
+        elif min_sim_value:
+            rows, cols = np.nonzero(s_np > min_sim_value)
+            matched = set(zip(rows.tolist(), cols.tolist()))
+        else:
+            raise ValueError("either top_k or min_sim_value must be set")
+
+        kg1_uri = {v: k for k, v in self.kgs.kg1.entities_id_dict.items()}
+        kg2_uri = {v: k for k, v in self.kgs.kg2.entities_id_dict.items()}
+        ents1 = np.asarray(self._ents1)
+        ents2 = np.asarray(self._ents2)
+        out = [(kg1_uri[int(ents1[i])], kg2_uri[int(ents2[j])], float(s_np[i, j]))
+               for i, j in matched]
+        if output_file_name is not None:
+            os.makedirs(self.out_folder, exist_ok=True)
+            with open(os.path.join(self.out_folder, output_file_name), "w",
+                      encoding="utf8") as f:
+                for a, b, c in out:
+                    f.write(f"{a}\t{b}\t{c}\n")
+        return out
+
+    def predict_entities(self, entities_file_path: str,
+                         output_file_name: Optional[str] = None):
+        pairs1, pairs2 = [], []
+        with open(entities_file_path, "r", encoding="utf-8") as f:
+            for line in f:
+                a, b = line.strip("\n").split("\t")
+                pairs1.append(self.kgs.kg1.entities_id_dict[a])
+                pairs2.append(self.kgs.kg2.entities_id_dict[b])
+        d1 = sorted(set(pairs1))
+        d2 = sorted(set(pairs2))
+        pos1 = {e: i for i, e in enumerate(d1)}
+        pos2 = {e: i for i, e in enumerate(d2)}
+        ent = self._ent_embeds_for_eval()
+        e1 = ent[jnp.asarray(d1, jnp.int32)]
+        e2 = ent[jnp.asarray(d2, jnp.int32)]
+        mapping = self._mapping_for_eval()
+        if mapping is not None:
+            e1 = e1 @ mapping
+        s = np.asarray(sim_matrix(e1, e2, metric=self.args.eval_metric,
+                                  normalize=self.args.eval_norm, csls_k=0))
+        kg1_uri = {v: k for k, v in self.kgs.kg1.entities_id_dict.items()}
+        kg2_uri = {v: k for k, v in self.kgs.kg2.entities_id_dict.items()}
+        out = [(kg1_uri[a], kg2_uri[b], float(s[pos1[a], pos2[b]]))
+               for a, b in zip(pairs1, pairs2)]
+        if output_file_name is not None:
+            os.makedirs(self.out_folder, exist_ok=True)
+            with open(os.path.join(self.out_folder, output_file_name), "w",
+                      encoding="utf8") as f:
+                for a, b, c in out:
+                    f.write(f"{a}\t{b}\t{c}\n")
+        return out

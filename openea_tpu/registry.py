@@ -1,0 +1,32 @@
+"""Model registry (reference run/main_from_args.py:38-76 ModelFamily).
+
+Models are registered lazily so importing the registry doesn't pull every
+model module (and its compile-time deps).
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Dict, Tuple
+
+# name -> (module, class)
+_REGISTRY: Dict[str, Tuple[str, str]] = {
+    "BasicModel": ("openea_tpu.models.base", "BasicModel"),
+    "MTransE": ("openea_tpu.models.mtranse", "MTransE"),
+    "AlignE": ("openea_tpu.models.aligne", "AlignE"),
+}
+
+
+def register(name: str, module: str, cls: str) -> None:
+    _REGISTRY[name] = (module, cls)
+
+
+def get_model(name: str):
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown model {name!r}; known: {sorted(_REGISTRY)}")
+    module, cls = _REGISTRY[name]
+    return getattr(importlib.import_module(module), cls)
+
+
+def available_models():
+    return sorted(_REGISTRY)
