@@ -14,6 +14,7 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "BasicModel": ("openea_tpu.models.base", "BasicModel"),
     "MTransE": ("openea_tpu.models.mtranse", "MTransE"),
     "AlignE": ("openea_tpu.models.aligne", "AlignE"),
+    "BootEA": ("openea_tpu.models.bootea", "BootEA"),
 }
 
 
