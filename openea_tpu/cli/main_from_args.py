@@ -4,6 +4,10 @@ Same contract as the reference driver (run/main_from_args.py:79-98):
 positional overrides replace the dataset folder name and split division in
 the JSON preset, then the pipeline is read_kgs -> set_args -> set_kgs ->
 init -> run -> test -> save.
+
+Instead of a JSON path, the first argument may also be a built-in preset:
+``preset:<name>_<scale>``, e.g. ``preset:bootea_15K`` (see
+openea_tpu/presets.py for the registry).
 """
 
 from __future__ import annotations
@@ -16,13 +20,24 @@ from openea_tpu.data.kg import read_kgs_from_folder
 from openea_tpu.registry import get_model
 
 
+def _resolve_args(spec: str):
+    if spec.startswith("preset:"):
+        from openea_tpu.presets import get_preset
+        name = spec[len("preset:"):]
+        base, _, scale = name.rpartition("_")
+        if not base:
+            base, scale = name, "15K"
+        return get_preset(base, scale)
+    return load_args(spec)
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) < 1:
         print(__doc__)
         return 1
     t = time.time()
-    args = load_args(argv[0])
+    args = _resolve_args(argv[0])
     if len(argv) >= 2:
         args.training_data = args.training_data + argv[1] + "/"
     if len(argv) >= 3:

@@ -139,7 +139,10 @@ class BasicModel:
         return h, r, t
 
     def _triple_loss(self, params: Params, pos: jax.Array, neg: jax.Array,
-                     pos_w: jax.Array, neg_w: jax.Array) -> jax.Array:
+                     pos_w: jax.Array, neg_w: jax.Array,
+                     key: Optional[jax.Array] = None) -> jax.Array:
+        """Per-step loss; `key` is a fresh per-step PRNG key for models that
+        need in-loss randomness (dropout, sampled softmax)."""
         phs, prs, pts = self._lookup(params, pos)
         nhs, nrs, nts = self._lookup(params, neg)
         return L.get_loss_func(phs, prs, pts, nhs, nrs, nts, self.args,
@@ -210,7 +213,7 @@ class BasicModel:
             def step(carry, xs):
                 params, opt_state = carry
                 pos1, w1b, pos2, w2b, sk = xs
-                sk1, sk2 = jax.random.split(sk)
+                sk1, sk2, sk3 = jax.random.split(sk, 3)
                 neg1 = corrupt_batch(sk1, pos1, num_neg, ents1, neigh1)
                 neg2 = corrupt_batch(sk2, pos2, num_neg, ents2, neigh2)
                 pos = jnp.concatenate([pos1, pos2], axis=0)
@@ -220,7 +223,7 @@ class BasicModel:
                     [jnp.repeat(w1b, num_neg), jnp.repeat(w2b, num_neg)], axis=0)
 
                 def loss_fn(p):
-                    return self._triple_loss(p, pos, neg, pos_w, neg_w)
+                    return self._triple_loss(p, pos, neg, pos_w, neg_w, key=sk3)
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state = opt.update(grads, opt_state, params)

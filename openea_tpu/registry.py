@@ -15,6 +15,17 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "MTransE": ("openea_tpu.models.mtranse", "MTransE"),
     "AlignE": ("openea_tpu.models.aligne", "AlignE"),
     "BootEA": ("openea_tpu.models.bootea", "BootEA"),
+    # KGE model zoo (reference src/openea/models/)
+    "TransE": ("openea_tpu.models.trans", "TransE"),
+    "TransH": ("openea_tpu.models.trans", "TransH"),
+    "TransR": ("openea_tpu.models.trans", "TransR"),
+    "TransD": ("openea_tpu.models.trans", "TransD"),
+    "DistMult": ("openea_tpu.models.semantic", "DistMult"),
+    "HolE": ("openea_tpu.models.semantic", "HolE"),
+    "SimplE": ("openea_tpu.models.semantic", "SimplE"),
+    "RotatE": ("openea_tpu.models.semantic", "RotatE"),
+    "ProjE": ("openea_tpu.models.neural", "ProjE"),
+    "ConvE": ("openea_tpu.models.neural", "ConvE"),
 }
 
 
