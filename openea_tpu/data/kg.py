@@ -80,6 +80,14 @@ class KG:
         self.av_dict: Dict[int, Set[Tuple[int, str]]] = {}
         for e, a, v in self.local_attribute_triples_set:
             self.av_dict.setdefault(e, set()).add((a, v))
+        # ent -> attribute-id set / head -> relation-id set
+        # (reference kg.py:115-129 parse_relations/parse_attributes)
+        self.entity_attributes_dict: Dict[int, Set[int]] = {}
+        for e, a, _ in self.local_attribute_triples_set:
+            self.entity_attributes_dict.setdefault(e, set()).add(a)
+        self.entity_relations_dict: Dict[int, Set[int]] = {}
+        for h, r, _ in self.local_relation_triples_set:
+            self.entity_relations_dict.setdefault(h, set()).add(r)
 
         # dense exports (deterministic order: sorted triples) — only once the
         # KG is in id space; the URI-stage KG built at file-load time has

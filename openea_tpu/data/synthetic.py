@@ -29,12 +29,20 @@ def synthesize_kg_pair(
     train_frac: float = 0.2,
     valid_frac: float = 0.1,
     mode: str = "mapping",
+    num_attributes: int = 0,
+    attrs_per_entity: int = 3,
     seed: int = 0,
 ) -> KGs:
-    """Build a KGs pair with URI-level files semantics, fully in memory."""
+    """Build a KGs pair with URI-level files semantics, fully in memory.
+
+    With ``num_attributes > 0``, each entity also gets attribute triples
+    drawn from a popularity-skewed attribute pool; aligned entities draw
+    the same attributes (so attribute-based views are learnable)."""
     rel1, rel2, links = _synthesize_raw(
         num_entities, num_relations, num_triples, aligned_frac,
         edge_keep_prob, noise_edge_frac, seed)
+    attr1, attr2 = _synthesize_attrs(num_entities, num_attributes,
+                                     attrs_per_entity, seed)
     rng = np.random.RandomState(seed + 1)
     links = [links[i] for i in rng.permutation(len(links))]
     n_train = int(train_frac * len(links))
@@ -42,9 +50,26 @@ def synthesize_kg_pair(
     train = links[:n_train]
     valid = links[n_train:n_train + n_valid]
     test = links[n_train + n_valid:]
-    kg1 = KG(list(rel1), [])
-    kg2 = KG(list(rel2), [])
+    kg1 = KG(list(rel1), list(attr1))
+    kg2 = KG(list(rel2), list(attr2))
     return KGs(kg1, kg2, train, test, valid_links=valid, mode=mode, ordered=True)
+
+
+def _synthesize_attrs(num_entities, num_attributes, attrs_per_entity, seed):
+    if num_attributes <= 0:
+        return [], []
+    rng = np.random.RandomState(seed + 7)
+    ranks = np.arange(1, num_attributes + 1, dtype=np.float64)
+    pop = ranks ** -0.8
+    pop /= pop.sum()
+    attr1, attr2 = [], []
+    for e in range(num_entities):
+        attrs = rng.choice(num_attributes, size=attrs_per_entity,
+                           replace=False, p=pop)
+        for a in attrs.tolist():
+            attr1.append((f"http://kg1/e{e}", f"http://kg1/a{a}", f"v{a}_{e}"))
+            attr2.append((f"http://kg2/e{e}", f"http://kg2/a{a}", f"v{a}_{e}"))
+    return attr1, attr2
 
 
 def _synthesize_raw(num_entities, num_relations, num_triples, aligned_frac,

@@ -1,0 +1,117 @@
+"""Sparse graph primitives for the GNN family.
+
+Replaces the reference's scipy.sparse + TF1 sparse ops
+(approaches/gcn_align.py:566-664 `get_weighted_adj`/`normalize_adj`,
+`tf.sparse_tensor_dense_matmul` at :83) with a device-resident COO
+representation and a segment-sum SpMM that XLA lowers to gather +
+scatter-add — fully fusable into the jitted GNN forward/backward.
+
+Edges are sorted by destination row at build time so the scatter-add
+accumulates contiguously (TPU-friendly memory access on the power-law
+degree skew; OpenEA ids are frequency-sorted, reference read.py:64-92).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SparseAdj(NamedTuple):
+    """COO adjacency, rows sorted: out[i] = sum_j val[e] * x[col[e]] over
+    edges e with row[e] == i."""
+    row: jax.Array          # [nnz] i32
+    col: jax.Array          # [nnz] i32
+    val: jax.Array          # [nnz] f32
+    n_rows: int
+
+    def __matmul__(self, x):
+        return spmm(self, x)
+
+
+def spmm(adj: SparseAdj, x: jax.Array) -> jax.Array:
+    """Sparse @ dense via gather + segment_sum (differentiable in x/val)."""
+    gathered = adj.val[:, None] * x[adj.col]
+    return jax.ops.segment_sum(gathered, adj.row, num_segments=adj.n_rows,
+                               indices_are_sorted=True)
+
+
+def build_sparse(row: np.ndarray, col: np.ndarray, val: np.ndarray,
+                 n_rows: int) -> SparseAdj:
+    order = np.argsort(row, kind="stable")
+    return SparseAdj(jnp.asarray(row[order], jnp.int32),
+                     jnp.asarray(col[order], jnp.int32),
+                     jnp.asarray(val[order], jnp.float32), n_rows)
+
+
+# ---------------------------------------------------------------------------
+# relation functionality weights (reference gcn_align.py:610-640)
+# ---------------------------------------------------------------------------
+
+def relation_functionality(triples: Sequence[Tuple[int, int, int]]
+                           ) -> Tuple[Dict[int, float], Dict[int, float]]:
+    """func(r) = #distinct heads / #triples, ifunc(r) = #distinct tails /
+    #triples."""
+    heads: Dict[int, set] = {}
+    tails: Dict[int, set] = {}
+    cnt: Dict[int, int] = {}
+    for h, r, t in triples:
+        cnt[r] = cnt.get(r, 0) + 1
+        heads.setdefault(r, set()).add(h)
+        tails.setdefault(r, set()).add(t)
+    func = {r: len(heads[r]) / cnt[r] for r in cnt}
+    ifunc = {r: len(tails[r]) / cnt[r] for r in cnt}
+    return func, ifunc
+
+
+def weighted_adjacency(num_ents: int,
+                       triples: Sequence[Tuple[int, int, int]],
+                       floor: float = 0.3
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Functionality-weighted symmetric adjacency (reference
+    gcn_align.py:642-664): edge (h -> t) accumulates max(ifunc, floor),
+    (t -> h) accumulates max(func, floor); self-loops dropped.  Returns
+    merged COO (row, col, weight)."""
+    func, ifunc = relation_functionality(triples)
+    M: Dict[Tuple[int, int], float] = {}
+    for h, r, t in triples:
+        if h == t:
+            continue
+        M[(h, t)] = M.get((h, t), 0.0) + max(ifunc[r], floor)
+        M[(t, h)] = M.get((t, h), 0.0) + max(func[r], floor)
+    if not M:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.float32))
+    # the reference emits (row=key[1], col=key[0]); since both directions
+    # are inserted the supports are the same — keep its convention
+    keys = np.asarray(list(M.keys()), np.int64)
+    vals = np.asarray(list(M.values()), np.float32)
+    return keys[:, 1].astype(np.int32), keys[:, 0].astype(np.int32), vals
+
+
+def sym_normalize_with_self_loops(row: np.ndarray, col: np.ndarray,
+                                  val: np.ndarray, n: int
+                                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """D^-1/2 (A + I) D^-1/2 (reference preprocess_adj, gcn_align.py:575)."""
+    row = np.concatenate([row, np.arange(n, dtype=np.int32)])
+    col = np.concatenate([col, np.arange(n, dtype=np.int32)])
+    val = np.concatenate([val, np.ones(n, np.float32)])
+    deg = np.zeros(n, np.float64)
+    np.add.at(deg, row, val)
+    with np.errstate(divide="ignore"):
+        dinv = np.power(deg, -0.5)
+    dinv[np.isinf(dinv)] = 0.0
+    return row, col, (val * dinv[row] * dinv[col]).astype(np.float32)
+
+
+def normalized_weighted_adj(num_ents: int,
+                            triples: Sequence[Tuple[int, int, int]],
+                            floor: float = 0.3) -> SparseAdj:
+    """One-call builder: functionality weights -> +I -> sym-normalize ->
+    row-sorted device COO."""
+    row, col, val = weighted_adjacency(num_ents, triples, floor)
+    row, col, val = sym_normalize_with_self_loops(row, col, val, num_ents)
+    return build_sparse(row, col, val, num_ents)

@@ -26,6 +26,8 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "RotatE": ("openea_tpu.models.semantic", "RotatE"),
     "ProjE": ("openea_tpu.models.neural", "ProjE"),
     "ConvE": ("openea_tpu.models.neural", "ConvE"),
+    # GNN family
+    "GCN_Align": ("openea_tpu.models.gcn_align", "GCN_Align"),
 }
 
 
