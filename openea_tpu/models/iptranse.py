@@ -1,0 +1,275 @@
+"""IPTransE: shared-id PTransE with 2-hop relation paths + iterative soft
+alignment (reference approaches/iptranse.py).
+
+Three objectives:
+1. margin TransE over both KGs' triples;
+2. path compositionality: for mined 2-hop paths (rx, ry -> r), margin loss
+   on ||rx + ry - r||^2 weighted by 1/path_weight, scaled by path_parm
+   (reference :173-181); paths are mined once on host with a pandas
+   self-merge keeping paths with weight = size_x*size_y < 101 (:95-115);
+3. every `bp_freq` epochs, soft alignment: greedy sim>th row-top-1 pairs
+   over ref entities -> swapped triples weighted by their similarity ->
+   weighted margin loss with uniform 50/50 head-or-tail corruption
+   (:274-303).
+
+TPU design: triple and path batches ride one jitted scan (the path batch
+is a per-epoch device permutation instead of per-step host random.sample);
+the soft-alignment epoch reuses the BootEA-style padded power-of-two
+alignment scan; greedy pair mining is a blocked device top-1.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pandas as pd
+
+from openea_tpu.eval.evaluation import early_stop
+from openea_tpu.models.base import BasicModel
+from openea_tpu.ops import bootstrapping as bs
+from openea_tpu.ops.initializers import l2_normalize
+from openea_tpu.ops.matching import check_new_alignment
+from openea_tpu.ops.optim import get_optimizer
+from openea_tpu.ops.sampling import corrupt_batch
+
+
+def generate_2steps_path(triples) -> List[Tuple[int, int, int, float]]:
+    """Mine 2-hop relation paths (rx, ry, r, weight) with the reference's
+    exact pandas join semantics (iptranse.py:95-115)."""
+    if len(triples) == 0:
+        return []
+    tr = np.asarray([[t[0], t[2], t[1]] for t in triples])
+    tr = pd.DataFrame(tr, columns=["h", "t", "r"])
+    sizes = tr.groupby(["h", "r"]).size()
+    sizes.name = "size"
+    tr = tr.join(sizes, on=["h", "r"])
+    raw = tr[["h", "r", "t", "size"]]
+    two = pd.merge(raw, raw, left_on="t", right_on="h")
+    two["_path_weight"] = two.size_x * two.size_y
+    two = two[two["_path_weight"] < 101]
+    two = pd.merge(two, raw, left_on=["h_x", "t_y"], right_on=["h", "t"],
+                   sort=False)
+    mat = two[["r_x", "r_y", "r", "_path_weight"]].values
+    print("num of path:", mat.shape[0])
+    return [(int(m[0]), int(m[1]), int(m[2]), float(m[3])) for m in mat]
+
+
+class IPTransE(BasicModel):
+
+    def check_args(self):
+        a = self.args
+        assert a.alignment_module == "sharing"
+        assert a.init == "normal"
+        assert a.neg_sampling == "uniform"
+        assert a.optimizer == "Adagrad"
+        assert a.eval_metric == "inner"
+        assert a.loss_norm == "L2"
+        assert a.ent_l2_norm is True
+        assert a.rel_l2_norm is True
+        assert a.margin > 0.0
+        assert a.neg_triple_num == 1
+        assert a.sim_th > 0.0
+
+    def init(self):
+        super().init()
+        self.ref_entities1 = self.kgs.valid_entities1 + self.kgs.test_entities1
+        self.ref_entities2 = self.kgs.valid_entities2 + self.kgs.test_entities2
+        paths1 = generate_2steps_path(self.kgs.kg1.relation_triples_list)
+        paths2 = generate_2steps_path(self.kgs.kg2.relation_triples_list)
+        self._paths = jnp.asarray(
+            np.asarray([p[:3] for p in paths1 + paths2], np.int32).reshape(-1, 3))
+        self._path_w = jnp.asarray(
+            np.asarray([p[3] for p in paths1 + paths2], np.float32))
+        self._rels1 = jnp.asarray(self.kgs.kg1.relations)
+        self._rels2 = jnp.asarray(self.kgs.kg2.relations)
+        self._all_rels = jnp.concatenate([self._rels1, self._rels2])
+        self._all_ents = jnp.concatenate([self._ents1, self._ents2])
+        self.align_opt = get_optimizer(self.args.optimizer, self.args.learning_rate)
+        self.align_opt_state = self.align_opt.init(self.params)
+        self._align_epoch_cache = {}
+
+    # ------------------------------------------------------------------ #
+    # joint triple + path epoch
+    # ------------------------------------------------------------------ #
+
+    def _rel_lookup(self, params, idx):
+        rel = params["rel_embeds"]
+        if self.args.rel_l2_norm:
+            rel = l2_normalize(rel)
+        return rel[idx]
+
+    def _make_epoch_fn(self, use_tables: bool):
+        steps, bs1, bs2 = self._steps, self._bs1, self._bs2
+        margin = float(self.args.margin)
+        path_parm = float(self.args.path_parm)
+        n_paths = int(self._paths.shape[0])
+        path_bs = max(1, n_paths // max(steps, 1)) if n_paths else 0
+        ents1, ents2 = self._ents1, self._ents2
+        paths, path_w, all_rels = self._paths, self._path_w, self._all_rels
+        opt = self.opt
+
+        def epoch(params, opt_state, key, t1, w1, t2, w2, neigh1, neigh2):
+            k1, k2, kp, kscan = jax.random.split(key, 4)
+            p1 = jax.random.permutation(k1, t1.shape[0])
+            p2 = jax.random.permutation(k2, t2.shape[0])
+            t1s, w1s = t1[p1].reshape(steps, bs1, 3), w1[p1].reshape(steps, bs1)
+            t2s, w2s = t2[p2].reshape(steps, bs2, 3), w2[p2].reshape(steps, bs2)
+            if path_bs:
+                pperm = jax.random.permutation(kp, n_paths)
+                rows = steps * path_bs
+                pidx = jnp.concatenate([pperm, pperm])[:rows].reshape(steps, path_bs)
+            else:
+                pidx = jnp.zeros((steps, 0), jnp.int32)
+            step_keys = jax.random.split(kscan, steps)
+
+            def step(carry, xs):
+                params, opt_state = carry
+                pos1, w1b, pos2, w2b, pb, sk = xs
+                sk1, sk2, sk3 = jax.random.split(sk, 3)
+                neg1 = corrupt_batch(sk1, pos1, 1, ents1, neigh1)
+                neg2 = corrupt_batch(sk2, pos2, 1, ents2, neigh2)
+                pos = jnp.concatenate([pos1, pos2], axis=0)
+                neg = jnp.concatenate([neg1, neg2], axis=0)
+                w = jnp.concatenate([w1b, w2b], axis=0)
+                ppath = paths[pb]
+                pw = path_w[pb]
+                neg_r = all_rels[jax.random.randint(
+                    sk3, (ppath.shape[0],), 0, all_rels.shape[0])]
+
+                def loss_fn(p):
+                    phs, prs, pts = self._lookup(p, pos)
+                    nhs, nrs, nts = self._lookup(p, neg)
+                    pos_s = jnp.sum(jnp.square(phs + prs - pts), axis=-1)
+                    neg_s = jnp.sum(jnp.square(nhs + nrs - nts), axis=-1)
+                    tri_l = jnp.sum(jax.nn.relu(pos_s + margin - neg_s) * w)
+                    if path_bs:
+                        rx = self._rel_lookup(p, ppath[:, 0])
+                        ry = self._rel_lookup(p, ppath[:, 1])
+                        r = self._rel_lookup(p, ppath[:, 2])
+                        nr = self._rel_lookup(p, neg_r)
+                        pos_p = jnp.sum(jnp.square(rx + ry - r), axis=-1)
+                        neg_p = jnp.sum(jnp.square(rx + ry - nr), axis=-1)
+                        path_l = jnp.sum((1.0 / pw) *
+                                         jax.nn.relu(pos_p + margin - neg_p))
+                        return tri_l + path_parm * path_l
+                    return tri_l
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (t1s, w1s, t2s, w2s, pidx, step_keys))
+            return params, opt_state, jnp.sum(losses)
+
+        return jax.jit(epoch, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------ #
+    # iterative soft alignment
+    # ------------------------------------------------------------------ #
+
+    def _make_align_epoch_fn(self, steps: int, bsz: int):
+        margin = float(self.args.margin)
+        all_ents = self._all_ents
+        opt = self.align_opt
+
+        def epoch(params, opt_state, key, triples, tw, mask):
+            ts = triples.reshape(steps, bsz, 3)
+            tws = tw.reshape(steps, bsz)
+            ms = mask.reshape(steps, bsz)
+            keys = jax.random.split(key, steps)
+
+            def step(carry, xs):
+                params, opt_state = carry
+                pos, w, m, sk = xs
+                neg = corrupt_batch(sk, pos, 1, all_ents, None)
+
+                def loss_fn(p):
+                    phs, prs, pts = self._lookup(p, pos)
+                    nhs, nrs, nts = self._lookup(p, neg)
+                    pos_s = jnp.sum(jnp.square(phs + prs - pts), axis=-1)
+                    neg_s = jnp.sum(jnp.square(nhs + nrs - nts), axis=-1)
+                    return jnp.sum(w * m * jax.nn.relu(pos_s + margin - neg_s))
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (ts, tws, ms, keys))
+            return params, opt_state, jnp.sum(losses)
+
+        return jax.jit(epoch, donate_argnums=(0, 1))
+
+    def launch_alignment_training_1epo(self, epoch: int):
+        t1 = time.time()
+        ent = self.params["ent_embeds"]
+        if self.args.ent_l2_norm:
+            ent = l2_normalize(ent)
+        e1 = ent[jnp.asarray(self.ref_entities1, jnp.int32)]
+        e2 = ent[jnp.asarray(self.ref_entities2, jnp.int32)]
+        vals, idx = bs.ref_topk(e1, e2, 1, block=self.args.eval_block_size)
+        rows = np.nonzero(vals[:, 0] > self.args.sim_th)[0]
+        if len(rows) == 0:
+            return
+        pairs = {(int(r), int(idx[r, 0])) for r in rows}
+        check_new_alignment(pairs, context="after filtering by sim threshold")
+        ents1 = [self.ref_entities1[i] for i, _ in pairs]
+        ents2 = [self.ref_entities2[j] for _, j in pairs]
+        ws = [float(vals[i, 0]) for i, _ in pairs]
+        newly = set()
+        kg1, kg2 = self.kgs.kg1, self.kgs.kg2
+        for e1_, e2_, w in zip(ents1, ents2, ws):
+            for r, t in kg1.rt_dict.get(e1_, set()):
+                newly.add((e2_, r, t, w))
+            for h, r in kg1.hr_dict.get(e1_, set()):
+                newly.add((h, r, e2_, w))
+            for r, t in kg2.rt_dict.get(e2_, set()):
+                newly.add((e1_, r, t, w))
+            for h, r in kg2.hr_dict.get(e2_, set()):
+                newly.add((h, r, e1_, w))
+        print("newly triples: {}".format(len(newly)))
+        n = len(newly)
+        if n == 0:
+            return
+        bsz = self.args.batch_size
+        steps = max(1, math.ceil(n / bsz))
+        steps = 1 << (steps - 1).bit_length()
+        rows_n = steps * bsz
+        tri = np.zeros((rows_n, 3), np.int32)
+        tw = np.zeros((rows_n,), np.float32)
+        arr = np.asarray([t[:3] for t in newly], np.int32)
+        tri[:n] = arr
+        tw[:n] = np.asarray([t[3] for t in newly], np.float32)
+        mask = (np.arange(rows_n) < n).astype(np.float32)
+        key = (steps, bsz)
+        if key not in self._align_epoch_cache:
+            self._align_epoch_cache[key] = self._make_align_epoch_fn(steps, bsz)
+        self.key, k = jax.random.split(self.key)
+        self.params, self.align_opt_state, loss = self._align_epoch_cache[key](
+            self.params, self.align_opt_state, k, jnp.asarray(tri),
+            jnp.asarray(tw), jnp.asarray(mask))
+        print("epoch {}, alignment loss: {:.4f}, cost time: {:.4f}s"
+              .format(epoch, float(loss) / n, time.time() - t1))
+
+    def run(self):
+        t = time.time()
+        for epoch in range(1, self.args.max_epoch):
+            self.launch_triple_training_1epo(epoch)
+            if epoch >= self.args.start_valid and epoch % self.args.eval_freq == 0:
+                flag = self.valid(self.args.stop_metric)
+                self.flag1, self.flag2, self.early_stop = early_stop(
+                    self.flag1, self.flag2, flag)
+                if self.early_stop or epoch == self.args.max_epoch:
+                    break
+            if epoch % self.args.bp_freq == 0:
+                self.launch_alignment_training_1epo(epoch)
+        print("Training ends. Total time = {:.3f} s.".format(time.time() - t))

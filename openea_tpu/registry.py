@@ -28,6 +28,11 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "ConvE": ("openea_tpu.models.neural", "ConvE"),
     # GNN family
     "GCN_Align": ("openea_tpu.models.gcn_align", "GCN_Align"),
+    # further EA approaches
+    "SEA": ("openea_tpu.models.sea", "SEA"),
+    "IPTransE": ("openea_tpu.models.iptranse", "IPTransE"),
+    "BootEA_TransH": ("openea_tpu.models.bootea_variants", "BootEA_TransH"),
+    "BootEA_RotatE": ("openea_tpu.models.bootea_variants", "BootEA_RotatE"),
 }
 
 
