@@ -128,6 +128,10 @@ class KG:
     def attribute_triples_list(self):
         return list(self.attribute_triples_set)
 
+    @property
+    def local_attribute_triples_list(self):
+        return list(self.local_attribute_triples_set)
+
     def set_id_dict(self, ent_ids, rel_ids, attr_ids) -> None:
         self.entities_id_dict = ent_ids
         self.relations_id_dict = rel_ids

@@ -1,0 +1,145 @@
+"""JAPE: joint attribute-preserving embedding (reference approaches/jape.py).
+
+Shared-id TransE with negative-score *subtraction* (pos_sum - neg_alpha *
+neg_sum, no margin, reference :74-84) plus an attribute-similarity
+regularizer: Attr2Vec pretrains attribute embeddings, the resulting
+ref-entity similarity matrix is thresholded (attr_sim_mat_threshold) and
+each epoch pulls sampled ref1 embeddings toward the sim-weighted, row-
+normalized combination of ref2 embeddings, scaled by attr_sim_mat_beta
+(reference :86-98, :127-138).
+
+TPU design: the thresholded sim matrix is mostly zeros, so only the batch
+of sampled rows is shipped per sim step; the sim step is jitted with a
+fixed [sub_mat_size, n_ref2] shape.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from openea_tpu.eval.evaluation import early_stop
+from openea_tpu.models.attr2vec import Attr2Vec
+from openea_tpu.models.base import BasicModel
+from openea_tpu.ops.initializers import l2_normalize
+from openea_tpu.ops.optim import get_optimizer
+
+
+class JAPE(BasicModel):
+
+    def __init__(self):
+        super().__init__()
+        self.attr2vec = Attr2Vec()
+        self.attr_sim_mat = None
+
+    def check_args(self):
+        a = self.args
+        assert a.alignment_module == "sharing"
+        assert a.init == "normal"
+        assert a.neg_sampling == "uniform"
+        assert a.optimizer == "Adagrad"
+        assert a.eval_metric == "inner"
+        assert a.loss_norm == "L2"
+        assert a.ent_l2_norm is True
+        assert a.rel_l2_norm is True
+        assert a.neg_triple_num >= 1
+        assert a.neg_alpha >= 0.0
+        assert a.top_attr_threshold > 0.0
+        assert a.attr_sim_mat_threshold > 0.0
+        assert a.attr_sim_mat_beta > 0.0
+
+    def init(self):
+        super().init()
+        self.ref_entities1 = self.kgs.valid_entities1 + self.kgs.test_entities1
+        self.ref_entities2 = self.kgs.valid_entities2 + self.kgs.test_entities2
+        self.sim_opt = get_optimizer(self.args.optimizer, self.args.learning_rate)
+        self.sim_opt_state = self.sim_opt.init(self.params)
+        self._sim_step = None
+
+    def _triple_loss(self, params, pos, neg, pos_w, neg_w, key=None):
+        phs, prs, pts = self._lookup(params, pos)
+        nhs, nrs, nts = self._lookup(params, neg)
+        pos_s = jnp.sum(jnp.square(phs + prs - pts), axis=-1)
+        neg_s = jnp.sum(jnp.square(nhs + nrs - nts), axis=-1)
+        return (jnp.sum(pos_s * pos_w)
+                - self.args.neg_alpha * jnp.sum(neg_s * neg_w))
+
+    # ------------------------------------------------------------------ #
+    # attribute similarity regularizer
+    # ------------------------------------------------------------------ #
+
+    def run_attr2vec(self):
+        t = time.time()
+        print("Training attribute embeddings:")
+        self.attr2vec.set_args(self.args)
+        self.attr2vec.set_kgs(self.kgs)
+        self.attr2vec.init()
+        self.attr2vec.run()
+        sim = self.attr2vec.eval_sim_mat()
+        sim[sim < self.args.attr_sim_mat_threshold] = 0.0
+        self.attr_sim_mat = sim
+        print("Training attributes ends. Total time = {:.3f} s."
+              .format(time.time() - t))
+
+    def _make_sim_step(self):
+        ref2 = jnp.asarray(self.ref_entities2, jnp.int32)
+        beta = float(self.args.attr_sim_mat_beta)
+        opt = self.sim_opt
+
+        def step(params, opt_state, rows, sim_rows):
+            def loss_fn(p):
+                ent = p["ent_embeds"]
+                if self.args.ent_l2_norm:
+                    ent = l2_normalize(ent)
+                e1 = ent[rows]
+                e2 = ent[ref2]
+                trans = l2_normalize(sim_rows @ e2)
+                return beta * jnp.sum(jnp.square(e1 - trans))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def launch_sim_1epo(self, epoch: int):
+        if self.attr_sim_mat is None or self.attr_sim_mat.size == 0:
+            return
+        t = time.time()
+        sub = min(int(self.args.sub_mat_size), len(self.ref_entities1))
+        steps = len(self.ref_entities1) // sub
+        if steps == 0:
+            return
+        if self._sim_step is None:
+            self._sim_step = self._make_sim_step()
+        ref1 = np.asarray(self.ref_entities1, np.int32)
+        rng = np.random.RandomState(epoch)
+        loss = 0.0
+        for _ in range(steps):
+            idx = rng.choice(len(ref1), sub, replace=False)
+            self.params, self.sim_opt_state, l = self._sim_step(
+                self.params, self.sim_opt_state, jnp.asarray(ref1[idx]),
+                jnp.asarray(self.attr_sim_mat[idx, :]))
+            loss += float(l)
+        print("epoch {}, sim loss: {:.4f}, cost time: {:.4f}s"
+              .format(epoch, loss, time.time() - t))
+
+    def run(self):
+        self.run_attr2vec()
+        print("Joint training:")
+        t = time.time()
+        for i in range(1, self.args.max_epoch + 1):
+            self.launch_triple_training_1epo(i)
+            self.launch_sim_1epo(i)
+            if i >= self.args.start_valid and i % self.args.eval_freq == 0:
+                flag = self.valid(self.args.stop_metric)
+                self.flag1, self.flag2, self.early_stop = early_stop(
+                    self.flag1, self.flag2, flag)
+                if self.early_stop or i == self.args.max_epoch:
+                    break
+        print("Training ends. Total time = {:.3f} s.".format(time.time() - t))

@@ -33,6 +33,11 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "IPTransE": ("openea_tpu.models.iptranse", "IPTransE"),
     "BootEA_TransH": ("openea_tpu.models.bootea_variants", "BootEA_TransH"),
     "BootEA_RotatE": ("openea_tpu.models.bootea_variants", "BootEA_RotatE"),
+    # attribute-enhanced approaches
+    "JAPE": ("openea_tpu.models.jape", "JAPE"),
+    "Attr2Vec": ("openea_tpu.models.attr2vec", "Attr2Vec"),
+    "AttrE": ("openea_tpu.models.attre", "AttrE"),
+    "IMUSE": ("openea_tpu.models.imuse", "IMUSE"),
 }
 
 
