@@ -1,0 +1,478 @@
+"""AliNet: gated multi-hop aggregation (reference approaches/alinet.py).
+
+Per layer: a GCN over the 1-hop adjacency and (except the last layer) an
+attention aggregation over a relation-pattern-selected 2-hop adjacency,
+merged by a highway gate (reference :784-826).  The contrastive link loss
+runs on the concatenation of all layers' L2-normalized outputs plus the
+input table (:828-850); an optional relation loss pulls mean (h - t)
+vectors per relation window (:852-866).  Every eval round, cross-KG
+truncated negative neighbors are refreshed, and after `start_augment`
+rounds the neighborhood is augmented: CSLS-sigmoid similarity ->
+threshold/top-1 pairs -> x/y conflict editing -> enhanced triples ->
+1-hop adjacency rebuild (:885-920).
+
+TPU design notes:
+* each training step is one jitted full-graph forward+backward; the
+  adjacencies are HBM-resident COO consumed by segment-sum SpMM and
+  edge-segment softmax (ops/graph.py);
+* the reference's keras BatchNormalization layers run in inference mode
+  with never-updated unit statistics, i.e. per-feature affine maps — we
+  implement exactly that affine;
+* the rebuilt 1-hop adjacency is padded to a fixed nnz capacity so
+  augmentation does not trigger recompilation;
+* per-relation (h, t) windows are sampled on device from a padded
+  [R, cap, 2] table.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pandas as pd
+import scipy.special
+
+from openea_tpu.data import read as rd
+from openea_tpu.eval.evaluation import early_stop
+from openea_tpu.models.base import BasicModel
+from openea_tpu.ops import bootstrapping as bs
+from openea_tpu.ops.graph import (SparseAdj, build_sparse, segment_softmax,
+                                  spmm, undirected_normalized_adj)
+from openea_tpu.ops.initializers import l2_normalize
+from openea_tpu.ops.similarity import blocked_row_topk_means
+
+
+# ---------------------------------------------------------------------- #
+# host-side graph preparation
+# ---------------------------------------------------------------------- #
+
+def out_in_dicts(triples):
+    out_d: Dict[int, Set[int]] = {}
+    in_d: Dict[int, Set[int]] = {}
+    for h, _, t in triples:
+        out_d.setdefault(h, set()).add(t)
+        in_d.setdefault(t, set()).add(h)
+    return out_d, in_d
+
+
+def enhance_triples(triples1, triples2, ents1, ents2):
+    """Swap seed-aligned entities into the other KG's triples, skipping
+    edges that already exist (reference alinet.py:399-417)."""
+    out1, _ = out_in_dicts(triples1)
+    out2, _ = out_in_dicts(triples2)
+    links1 = dict(zip(ents1, ents2))
+    links2 = dict(zip(ents2, ents1))
+    enh1, enh2 = set(), set()
+    for h1, r1, t1 in triples1:
+        h2, t2 = links1.get(h1), links1.get(t1)
+        if h2 is not None and t2 is not None and t2 not in out2.get(h2, set()):
+            enh2.add((h2, r1, t2))
+    for h2, r2, t2 in triples2:
+        h1, t1 = links2.get(h2), links2.get(t2)
+        if h1 is not None and t1 is not None and t1 not in out1.get(h1, set()):
+            enh1.add((h1, r2, t1))
+    return enh1, enh2
+
+
+def remove_unlinked_triples(triples, linked_ents):
+    return [(h, r, t) for h, r, t in triples
+            if h in linked_ents and t in linked_ents]
+
+
+def generate_2hop_pairs(triples, linked_ents=None):
+    """(head, tail) 2-hop pairs whose relation pattern is NOT among the 5
+    most frequent, excluding already-1-hop pairs (reference
+    alinet.py:250-287; the adjacency only needs the endpoints)."""
+    if linked_ents is not None:
+        triples = remove_unlinked_triples(triples, linked_ents)
+    if not triples:
+        return set()
+    out_d, in_d = out_in_dicts(triples)
+    df = pd.DataFrame(np.asarray([[h, r, t] for h, r, t in triples]),
+                      columns=["h", "r", "t"])
+    two = pd.merge(df, df, left_on="t", right_on="h")
+    quads = set()
+    patterns: Dict[Tuple[int, int], int] = {}
+    for h, tail, rx, ry in zip(two["h_x"].values, two["t_y"].values,
+                               two["r_x"].values, two["r_y"].values):
+        h, tail, rx, ry = int(h), int(tail), int(rx), int(ry)
+        if tail not in out_d.get(h, set()) and h not in in_d.get(tail, set()):
+            patterns[(rx, ry)] = patterns.get((rx, ry), 0) + 1
+            quads.add((h, rx, ry, tail))
+    ranked = sorted(patterns.items(), key=lambda x: -x[1])
+    selected = {p for p, _ in ranked[5:]}
+    pairs = set()
+    for h, rx, ry, tail in quads:
+        if (rx, ry) in selected:
+            pairs.add((h, h))
+            pairs.add((h, tail))
+    return pairs
+
+
+def rel_ht_table(triples, cap: int = 1024, seed: int = 0):
+    """Padded per-relation (h, t) table [R, cap, 2] + window lengths [R]."""
+    rel_ht: Dict[int, List[Tuple[int, int]]] = {}
+    for h, r, t in triples:
+        rel_ht.setdefault(r, []).append((h, t))
+    rels = sorted(rel_ht)
+    rng = np.random.RandomState(seed)
+    table = np.zeros((len(rels), cap, 2), np.int32)
+    lens = np.zeros((len(rels),), np.int32)
+    for i, r in enumerate(rels):
+        hts = rel_ht[r]
+        if len(hts) > cap:
+            idx = rng.choice(len(hts), cap, replace=False)
+            hts = [hts[j] for j in idx]
+        table[i, :len(hts)] = np.asarray(hts, np.int32)
+        lens[i] = len(hts)
+    return table, lens, len(rels)
+
+
+# ---------------------------------------------------------------------- #
+# model
+# ---------------------------------------------------------------------- #
+
+def _affine_bn(x, gamma, beta, eps: float = 1e-3):
+    """keras BatchNormalization in inference mode with unit statistics."""
+    return gamma * x * (1.0 / math.sqrt(1.0 + eps)) + beta
+
+
+def _glorot(key, shape):
+    rng = math.sqrt(6.0 / (shape[0] + shape[1]))
+    return jax.random.uniform(key, shape, minval=-rng, maxval=rng)
+
+
+class AliNet(BasicModel):
+
+    def __init__(self):
+        super().__init__()
+        self.new_links: Set[Tuple[int, int]] = set()
+        self._neigh1 = self._neigh2 = None
+
+    def check_args(self):
+        a = self.args
+        assert a.init == "xavier"
+        assert a.neg_margin > 0.0
+        assert len(a.layer_dims) >= 2
+
+    def init(self):
+        self.check_args()
+        a = self.args
+        self.key = jax.random.PRNGKey(a.seed)
+        self.ref_ent1 = self.kgs.test_entities1 + self.kgs.valid_entities1
+        self.ref_ent2 = self.kgs.test_entities2 + self.kgs.valid_entities2
+        self.sup_ent1 = list(self.kgs.train_entities1)
+        self.sup_ent2 = list(self.kgs.train_entities2)
+        self.linked_ents = set(self.sup_ent1 + self.sup_ent2 + self.ref_ent1
+                               + self.ref_ent2)
+        n = self.kgs.max_entities_id
+        self.n_ents = n
+
+        tri1 = list(self.kgs.kg1.relation_triples_set)
+        tri2 = list(self.kgs.kg2.relation_triples_set)
+        self._tri1, self._tri2 = tri1, tri2
+        enh1, enh2 = enhance_triples(tri1, tri2, self.sup_ent1, self.sup_ent2)
+        one_hop = remove_unlinked_triples(tri1 + tri2 + list(enh1) + list(enh2),
+                                          self.linked_ents)
+        # capacity for augmented rebuilds: 2x the initial edge count
+        self._nnz_cap = 2 * (2 * len(one_hop) + n)
+        self.adj1 = undirected_normalized_adj(n, one_hop, pad_to=self._nnz_cap)
+        two_pairs = (generate_2hop_pairs(tri1, self.linked_ents)
+                     | generate_2hop_pairs(tri2, self.linked_ents))
+        self.adj2 = undirected_normalized_adj(
+            n, [(h, 0, t) for h, t in two_pairs])
+
+        ht, lens, n_rel = rel_ht_table(one_hop, seed=a.seed)
+        self._rel_ht = jnp.asarray(ht)
+        self._rel_lens = jnp.asarray(np.maximum(lens, 1))
+        self._n_rel_win = n_rel
+        self.rel_win_size = max(a.batch_size // max(n_rel, 1), 1)
+        if self.rel_win_size <= 1:
+            self.rel_win_size = int(a.min_rel_win)
+
+        dims = [int(d) for d in a.layer_dims]
+        self.layer_num = len(dims) - 1
+        self.key, *ks = jax.random.split(self.key, 16)
+        params = {"init_embedding": _glorot(ks[0], (n, dims[0]))}
+        ki = 1
+        for i in range(self.layer_num):
+            params[f"gcn_{i}_kernel"] = _glorot(ks[ki], (dims[i], dims[i + 1])); ki += 1
+            params[f"gcn_{i}_bias"] = jnp.zeros((dims[i + 1],))
+            params[f"gcn_{i}_gamma"] = jnp.ones((dims[i],))
+            params[f"gcn_{i}_beta"] = jnp.zeros((dims[i],))
+            if i < self.layer_num - 1:
+                params[f"att_{i}_kernel"] = _glorot(ks[ki], (dims[i], dims[i + 1])); ki += 1
+                params[f"att_{i}_kernel1"] = _glorot(ks[ki], (dims[i], dims[i])); ki += 1
+                params[f"att_{i}_kernel2"] = _glorot(ks[ki], (dims[i], dims[i])); ki += 1
+                params[f"att_{i}_gamma"] = jnp.ones((dims[i],))
+                params[f"att_{i}_beta"] = jnp.zeros((dims[i],))
+                params[f"hw_{i}_kernel"] = _glorot(ks[ki], (dims[i + 1], dims[i + 1])); ki += 1
+                params[f"hw_{i}_gamma"] = jnp.ones((dims[i + 1],))
+                params[f"hw_{i}_beta"] = jnp.zeros((dims[i + 1],))
+        self.params = params
+        self.opt = optax.adam(a.learning_rate)
+        self.opt_state = self.opt.init(self.params)
+
+        self._sup_links = np.stack([np.asarray(self.sup_ent1, np.int32),
+                                    np.asarray(self.sup_ent2, np.int32)], axis=1)
+        self._cand1 = np.asarray(self.sup_ent1 + self.ref_ent1, np.int32)
+        self._cand2 = np.asarray(self.sup_ent2 + self.ref_ent2, np.int32)
+        self._np_rng = np.random.RandomState(a.seed)
+
+    # ------------------------------------------------------------------ #
+    # forward
+    # ------------------------------------------------------------------ #
+
+    def _forward(self, params, adj1: SparseAdj, adj2: SparseAdj):
+        x = params["init_embedding"]
+        outputs = []
+        for i in range(self.layer_num):
+            xb = _affine_bn(x, params[f"gcn_{i}_gamma"], params[f"gcn_{i}_beta"])
+            one = jnp.tanh(spmm(adj1, xb @ params[f"gcn_{i}_kernel"])
+                           + params[f"gcn_{i}_bias"])
+            if i < self.layer_num - 1:
+                two = self._attention(params, i, x, adj2)
+                x = self._highway(params, i, two, one)
+            else:
+                x = one
+            outputs.append(x)
+        return outputs
+
+    def _attention(self, params, i, x, adj: SparseAdj):
+        xb = _affine_bn(x, params[f"att_{i}_gamma"], params[f"att_{i}_beta"])
+        mapped = xb @ params[f"att_{i}_kernel"]
+        s1 = jnp.tanh(jnp.sum((xb @ params[f"att_{i}_kernel1"]) * xb, axis=1))
+        s2 = jnp.tanh(jnp.sum((xb @ params[f"att_{i}_kernel2"]) * xb, axis=1))
+        evals = jax.nn.leaky_relu(adj.val * s1[adj.row] + adj.val * s2[adj.col],
+                                  negative_slope=0.2)
+        soft = segment_softmax(evals, adj.row, adj.n_rows)
+        out = jax.ops.segment_sum(soft[:, None] * mapped[adj.col], adj.row,
+                                  num_segments=adj.n_rows,
+                                  indices_are_sorted=True)
+        return jnp.tanh(out)
+
+    def _highway(self, params, i, input1, input2):
+        b1 = _affine_bn(input1, params[f"hw_{i}_gamma"], params[f"hw_{i}_beta"])
+        b2 = _affine_bn(input2, params[f"hw_{i}_gamma"], params[f"hw_{i}_beta"])
+        gate = jax.nn.relu(jnp.tanh(b1 @ params[f"hw_{i}_kernel"]))
+        return jnp.tanh(b2 * (1.0 - gate) + b1 * gate)
+
+    def _concat_embeds(self, params, outputs):
+        parts = [l2_normalize(o) for o in outputs + [params["init_embedding"]]]
+        return l2_normalize(jnp.concatenate(parts, axis=1))
+
+    # ------------------------------------------------------------------ #
+    # training step
+    # ------------------------------------------------------------------ #
+
+    def _make_step_fn(self):
+        a = self.args
+        use_rel = float(a.rel_param) > 0.0
+        win = self.rel_win_size
+        rel_ht, rel_lens = self._rel_ht, self._rel_lens
+        n_rel = self._n_rel_win
+        opt = self.opt
+        adj2 = self.adj2
+
+        def step(params, opt_state, adj1, pos, neg, key):
+            def loss_fn(p):
+                outputs = self._forward(p, adj1, adj2)
+                emb = self._concat_embeds(p, outputs)
+                e1, e2 = emb[pos[:, 0]], emb[pos[:, 1]]
+                pos_loss = jnp.sum(jnp.square(e1 - e2))
+                n1, n2 = emb[neg[:, 0]], emb[neg[:, 1]]
+                neg_d = jnp.sum(jnp.square(n1 - n2), axis=1)
+                loss = pos_loss + a.neg_margin_balance * jnp.sum(
+                    jax.nn.relu(a.neg_margin - neg_d))
+                if use_rel:
+                    idx = jax.random.randint(key, (n_rel, win), 0, 1 << 30)
+                    idx = idx % rel_lens[:, None]
+                    ht = jnp.take_along_axis(rel_ht, idx[:, :, None], axis=1)
+                    h = emb[ht[:, :, 0].reshape(-1)]
+                    t = emb[ht[:, :, 1].reshape(-1)]
+                    d = (h - t).reshape(n_rel, win, -1)
+                    r = jnp.mean(d, axis=1, keepdims=True)
+                    r = jnp.broadcast_to(r, d.shape).reshape(h.shape)
+                    r = l2_normalize(r)
+                    loss = loss + a.rel_param * jnp.sum(jnp.square(h - t - r))
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _sample_batches(self, batch_size: int):
+        """pos [B,2] + neg [B*k or 2*B*k, 2] links (host RNG; truncated
+        candidates come from the device-computed neighbor tables)."""
+        a = self.args
+        rng = self._np_rng
+        bsz = min(batch_size, len(self.sup_ent1))
+        idx = rng.choice(len(self.sup_ent1), bsz)
+        pos = self._sup_links[idx]
+        k = int(a.neg_triple_num)
+        if self._neigh1 is None:
+            n1 = self._cand1[rng.randint(0, len(self._cand1), bsz * k)]
+            n2 = self._cand2[rng.randint(0, len(self._cand2), bsz * k)]
+            neg = np.stack([n1, n2], axis=1)
+        else:
+            nt1, pos1_map = self._neigh1
+            nt2, pos2_map = self._neigh2
+            rows1 = pos1_map[pos[:, 0]]
+            rows2 = pos2_map[pos[:, 1]]
+            c1 = nt1[rows1[:, None], rng.randint(0, nt1.shape[1], (bsz, k))]
+            c2 = nt2[rows2[:, None], rng.randint(0, nt2.shape[1], (bsz, k))]
+            neg_a = np.stack([np.repeat(pos[:, 0], k), c1.reshape(-1)], axis=1)
+            neg_b = np.stack([c2.reshape(-1), np.repeat(pos[:, 1], k)], axis=1)
+            neg = np.concatenate([neg_a, neg_b], axis=0)
+        return pos, neg
+
+    # ------------------------------------------------------------------ #
+    # neighbors / augmentation
+    # ------------------------------------------------------------------ #
+
+    def _output_embeds(self):
+        outputs = self._forward(self.params, self.adj1, self.adj2)
+        return outputs
+
+    def find_neighbors(self):
+        if self.args.truncated_epsilon <= 0.0:
+            return
+        start = time.time()
+        out_last = self._output_embeds()[-1]
+        ents1 = self.sup_ent1 + self.ref_ent1
+        ents2 = self.sup_ent2 + self.ref_ent2
+        e1 = l2_normalize(out_last[jnp.asarray(ents1, jnp.int32)])
+        e2 = l2_normalize(out_last[jnp.asarray(ents2, jnp.int32)])
+        num = max(1, int((1 - self.args.truncated_epsilon) * len(ents1)))
+        _, idx12 = bs.ref_topk(e1, e2, num, block=self.args.eval_block_size)
+        _, idx21 = bs.ref_topk(e2, e1, num, block=self.args.eval_block_size)
+        ents1_np = np.asarray(ents1, np.int32)
+        ents2_np = np.asarray(ents2, np.int32)
+        pos1 = np.zeros(self.n_ents, np.int32)
+        pos1[ents1_np] = np.arange(len(ents1_np), dtype=np.int32)
+        pos2 = np.zeros(self.n_ents, np.int32)
+        pos2[ents2_np] = np.arange(len(ents2_np), dtype=np.int32)
+        self._neigh1 = (ents2_np[idx12], pos1)     # e1 -> candidates in KG2
+        self._neigh2 = (ents1_np[idx21], pos2)     # e2 -> candidates in KG1
+        print("finding neighbors for sampling costs time: {:.4f}s"
+              .format(time.time() - start))
+
+    def _csls_topk1(self, e1, e2):
+        """top-1 of sigmoid(CSLS(sim)) per row, blocked."""
+        k = int(self.args.csls)
+        block = self.args.eval_block_size
+        r1 = blocked_row_topk_means(e1, e2, k, block) if k > 0 else None
+        r2 = blocked_row_topk_means(e2, e1, k, block) if k > 0 else None
+
+        vals, idx = bs.ref_topk(e1, e2, max(2 * k, 10), block=block)
+        if k > 0:
+            r1 = np.asarray(r1)
+            r2 = np.asarray(r2)
+            adj = 2.0 * vals - r1[:, None] - np.asarray(r2)[idx]
+        else:
+            adj = vals
+        best_c = np.argmax(adj, axis=1)
+        rows = np.arange(len(vals))
+        return (scipy.special.expit(adj[rows, best_c]), idx[rows, best_c],
+                r1, r2)
+
+    def augment_neighborhood(self):
+        outputs = self._output_embeds()
+        e1 = l2_normalize(outputs[-1][jnp.asarray(self.ref_ent1, jnp.int32)])
+        e2 = l2_normalize(outputs[-1][jnp.asarray(self.ref_ent2, jnp.int32)])
+        vals, idx, r1, r2 = self._csls_topk1(e1, e2)
+        rows = np.nonzero(vals > self.sim_th)[0]
+        if len(rows) == 0:
+            return
+        curr = {(int(r), int(idx[r])) for r in rows}
+        bs.check_new_alignment(curr, context="after filtering by sim th")
+
+        def pair_sim(pairs):
+            dots = bs.pair_sims(e1, e2, pairs)
+            if r1 is None:
+                return {p: scipy.special.expit(v) for p, v in dots.items()}
+            return {p: float(scipy.special.expit(2.0 * v - r1[p[0]] - r2[p[1]]))
+                    for p, v in dots.items()}
+
+        need = set(curr) | set(self.new_links)
+        pre = dict(self.new_links)
+        for i, j in curr:
+            if i in pre:
+                need.add((i, pre[i]))
+        sims = pair_sim(need)
+        self.new_links = bs.update_labeled_alignment_x(self.new_links, curr, sims)
+        self.new_links = bs.update_labeled_alignment_y(
+            self.new_links, pair_sim(self.new_links))
+        if not self.new_links:
+            return
+        new1 = [self.ref_ent1[i] for i, _ in self.new_links]
+        new2 = [self.ref_ent2[j] for _, j in self.new_links]
+        enh1, enh2 = enhance_triples(self._tri1, self._tri2,
+                                     self.sup_ent1 + new1, self.sup_ent2 + new2)
+        triples = remove_unlinked_triples(
+            self._tri1 + self._tri2 + list(enh1) + list(enh2), self.linked_ents)
+        self.adj1 = undirected_normalized_adj(self.n_ents, triples,
+                                              pad_to=self._nnz_cap)
+        if self.adj1.row.shape[0] > self._nnz_cap:
+            # capacity exceeded -> shape change; jit will recompile once
+            self._nnz_cap = self.adj1.row.shape[0]
+        print("augmented adjacency: {} links".format(len(self.new_links)))
+
+    # ------------------------------------------------------------------ #
+    # run / eval
+    # ------------------------------------------------------------------ #
+
+    def run(self):
+        t = time.time()
+        a = self.args
+        self.sim_th = float(a.sim_th)
+        steps = max(1, len(self.sup_ent2) // a.batch_size)
+        step_fn = self._make_step_fn()
+        for epoch in range(1, a.max_epoch + 1):
+            start = time.time()
+            epoch_loss = 0.0
+            for _ in range(steps):
+                pos, neg = self._sample_batches(a.batch_size)
+                self.key, k = jax.random.split(self.key)
+                self.params, self.opt_state, loss = step_fn(
+                    self.params, self.opt_state, self.adj1,
+                    jnp.asarray(pos), jnp.asarray(neg), k)
+                epoch_loss += float(loss)
+            print("epoch {}, loss: {:.4f}, cost time: {:.4f}s"
+                  .format(epoch, epoch_loss, time.time() - start))
+            if epoch % a.eval_freq == 0 and epoch >= a.start_valid:
+                flag = self.valid(a.stop_metric)
+                self.flag1, self.flag2, stop = early_stop(
+                    self.flag1, self.flag2, flag)
+                if stop:
+                    print("\n == training stop == \n")
+                    break
+                self.find_neighbors()
+                if epoch >= a.start_augment * a.eval_freq and self.sim_th > 0.0:
+                    self.augment_neighborhood()
+        print("Training ends. Total time = {:.3f} s.".format(time.time() - t))
+
+    def _ent_embeds_for_eval(self):
+        outputs = self._output_embeds()
+        parts = [l2_normalize(o) for o in
+                 [self.params["init_embedding"]] + outputs]
+        return jnp.concatenate(parts, axis=1)
+
+    def _rel_embeds_for_eval(self):
+        return None
+
+    def _mapping_for_eval(self):
+        return None
+
+    def save(self):
+        ent = np.asarray(self._ent_embeds_for_eval())
+        rd.save_embeddings(self.out_folder, self.kgs, ent, None, None)
+        print("Embeddings saved!")

@@ -20,13 +20,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-class SparseAdj(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class SparseAdj:
     """COO adjacency, rows sorted: out[i] = sum_j val[e] * x[col[e]] over
-    edges e with row[e] == i."""
-    row: jax.Array          # [nnz] i32
-    col: jax.Array          # [nnz] i32
-    val: jax.Array          # [nnz] f32
-    n_rows: int
+    edges e with row[e] == i.  Registered as a pytree with `n_rows` static
+    so it can be passed through jit boundaries (adjacency rebuilds swap
+    the arrays without changing the row count)."""
+
+    def __init__(self, row: jax.Array, col: jax.Array, val: jax.Array,
+                 n_rows: int):
+        self.row = row
+        self.col = col
+        self.val = val
+        self.n_rows = n_rows
+
+    def tree_flatten(self):
+        return (self.row, self.col, self.val), self.n_rows
+
+    @classmethod
+    def tree_unflatten(cls, n_rows, children):
+        return cls(*children, n_rows)
 
     def __matmul__(self, x):
         return spmm(self, x)
@@ -115,3 +128,42 @@ def normalized_weighted_adj(num_ents: int,
     row, col, val = weighted_adjacency(num_ents, triples, floor)
     row, col, val = sym_normalize_with_self_loops(row, col, val, num_ents)
     return build_sparse(row, col, val, num_ents)
+
+
+def undirected_normalized_adj(num_ents: int,
+                              triples: Sequence[Tuple[int, int, int]],
+                              pad_to: int = 0) -> SparseAdj:
+    """Binary undirected adjacency, sym-normalized with self-loops
+    (reference alinet.py:155-181 no_weighted_adj + preprocess_adj).
+
+    ``pad_to``: pad nnz with zero-weight (0, 0) entries to a fixed size so
+    jitted consumers keep a stable shape across adjacency rebuilds."""
+    edges = set()
+    for h, _, t in triples:
+        edges.add((h, t))
+        edges.add((t, h))
+    if edges:
+        arr = np.asarray(sorted(edges), np.int64)
+        row, col = arr[:, 0].astype(np.int32), arr[:, 1].astype(np.int32)
+    else:
+        row = col = np.zeros(0, np.int32)
+    val = np.ones(len(row), np.float32)
+    row, col, val = sym_normalize_with_self_loops(row, col, val, num_ents)
+    if pad_to and len(row) < pad_to:
+        extra = pad_to - len(row)
+        row = np.concatenate([row, np.zeros(extra, np.int32)])
+        col = np.concatenate([col, np.zeros(extra, np.int32)])
+        val = np.concatenate([val, np.zeros(extra, np.float32)])
+    return build_sparse(row, col, val, num_ents)
+
+
+def segment_softmax(values: jax.Array, segments: jax.Array,
+                    num_segments: int) -> jax.Array:
+    """Softmax over edge values grouped by segment id (the TPU form of
+    tf.sparse_softmax used by the GNN attention layers)."""
+    seg_max = jax.ops.segment_max(values, segments, num_segments=num_segments,
+                                  indices_are_sorted=True)
+    shifted = jnp.exp(values - seg_max[segments])
+    denom = jax.ops.segment_sum(shifted, segments, num_segments=num_segments,
+                                indices_are_sorted=True)
+    return shifted / jnp.maximum(denom[segments], 1e-30)

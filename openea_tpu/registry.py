@@ -38,6 +38,7 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "Attr2Vec": ("openea_tpu.models.attr2vec", "Attr2Vec"),
     "AttrE": ("openea_tpu.models.attre", "AttrE"),
     "IMUSE": ("openea_tpu.models.imuse", "IMUSE"),
+    "AliNet": ("openea_tpu.models.alinet", "AliNet"),
 }
 
 

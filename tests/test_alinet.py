@@ -1,0 +1,80 @@
+"""AliNet: graph helpers + e2e learnability."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openea_tpu.ops.graph import segment_softmax, undirected_normalized_adj
+from tests.test_models_e2e import make_kgs, run_model, test_hits1
+
+
+def test_segment_softmax_rows_sum_to_one():
+    vals = jnp.asarray([0.5, 1.0, -2.0, 3.0])
+    segs = jnp.asarray([0, 0, 1, 1])
+    out = np.asarray(segment_softmax(vals, segs, 2))
+    assert np.isclose(out[0] + out[1], 1.0, atol=1e-5)
+    assert np.isclose(out[2] + out[3], 1.0, atol=1e-5)
+    # matches dense softmax
+    assert np.allclose(out[:2], np.exp([0.5, 1.0]) / np.exp([0.5, 1.0]).sum(),
+                       atol=1e-5)
+
+
+def test_undirected_adj_padding_keeps_spmm_result():
+    from openea_tpu.ops.graph import spmm
+    triples = [(0, 0, 1), (1, 0, 2)]
+    a = undirected_normalized_adj(4, triples)
+    b = undirected_normalized_adj(4, triples, pad_to=64)
+    assert b.row.shape[0] == 64
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 3).astype(np.float32))
+    assert np.allclose(np.asarray(spmm(a, x)), np.asarray(spmm(b, x)), atol=1e-6)
+
+
+def test_enhance_triples():
+    from openea_tpu.models.alinet import enhance_triples
+    tri1 = [(0, 1, 2)]
+    tri2 = [(10, 5, 13)]           # maps to the NEW kg1 edge (0, 5, 3)
+    enh1, enh2 = enhance_triples(tri1, tri2, [0, 2, 3], [10, 12, 13])
+    assert (0, 5, 3) in enh1
+    # kg1 triple (0,1,2) maps to (10,1,12): edge (10,.,12) doesn't exist
+    assert (10, 1, 12) in enh2
+    # an edge that already exists between the mapped endpoints is skipped
+    enh1b, _ = enhance_triples([(0, 9, 2)], [(10, 5, 12)], [0, 2], [10, 12])
+    assert enh1b == set()
+
+
+def test_generate_2hop_pairs_excludes_direct_edges():
+    from openea_tpu.models.alinet import generate_2hop_pairs
+    # many distinct relation patterns so the top-5 cutoff keeps some
+    triples = []
+    for i in range(8):
+        triples.append((0, i, i + 1))
+        triples.append((i + 1, 10 + i, 20 + i))
+    pairs = generate_2hop_pairs(triples)
+    for h, t in pairs:
+        assert (h, t) not in {(tr[0], tr[2]) for tr in triples} or h == t
+
+
+def test_alinet_e2e_learns():
+    model, kgs = run_model(
+        "AliNet", "mapping", epochs=60,
+        init="xavier", layer_dims=[32, 32, 32], learning_rate=0.005,
+        optimizer="Adam", neg_margin=1.5, neg_margin_balance=0.1,
+        neg_triple_num=5, truncated_epsilon=0.98, truncated_freq=10,
+        batch_size=60, min_rel_win=5, rel_param=0.01, sim_th=0.0,
+        start_augment=2, k=5, eval_metric="inner", eval_norm=False,
+        dropout=0.0, start_valid=1000, eval_freq=1000)
+    hits1, mrr = test_hits1(model)
+    assert hits1 > 25.0
+
+
+def test_alinet_augmentation_path():
+    model, kgs = run_model(
+        "AliNet", "mapping", epochs=21,
+        init="xavier", layer_dims=[24, 24], learning_rate=0.01,
+        optimizer="Adam", neg_margin=1.5, neg_margin_balance=0.1,
+        neg_triple_num=2, truncated_epsilon=0.98, truncated_freq=10,
+        batch_size=60, min_rel_win=5, rel_param=0.0, sim_th=0.5,
+        start_augment=1, k=5, csls=3, eval_metric="inner", eval_norm=False,
+        dropout=0.0, start_valid=10, eval_freq=10)
+    # augmentation ran at least once without shape errors
+    assert isinstance(model.new_links, set)
