@@ -39,6 +39,7 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "AttrE": ("openea_tpu.models.attre", "AttrE"),
     "IMUSE": ("openea_tpu.models.imuse", "IMUSE"),
     "AliNet": ("openea_tpu.models.alinet", "AliNet"),
+    "RDGCN": ("openea_tpu.models.rdgcn", "RDGCN"),
 }
 
 
