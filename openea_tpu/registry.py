@@ -40,6 +40,9 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "IMUSE": ("openea_tpu.models.imuse", "IMUSE"),
     "AliNet": ("openea_tpu.models.alinet", "AliNet"),
     "RDGCN": ("openea_tpu.models.rdgcn", "RDGCN"),
+    "RSN4EA": ("openea_tpu.models.rsn4ea", "RSN4EA"),
+    "KDCoE": ("openea_tpu.models.kdcoe", "KDCoE"),
+    "KDCoE_wo_desc": ("openea_tpu.models.kdcoe", "KDCoE_wo_desc"),
 }
 
 
