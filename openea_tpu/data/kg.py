@@ -137,6 +137,14 @@ class KG:
         self.relations_id_dict = rel_ids
         self.attributes_id_dict = attr_ids
 
+    def set_attributes(self, attribute_triples) -> None:
+        """Replace the attribute triple set (MultiKE re-keys values to
+        literal ids, reference multi_ke.py:461-463)."""
+        self.attribute_triples_set = set(attribute_triples)
+        self.local_attribute_triples_set = set(attribute_triples)
+        self.sup_attribute_triples_set = set()
+        self._rebuild()
+
     def add_sup_relation_triples(self, sup_triples) -> None:
         self.sup_relation_triples_set |= set(sup_triples)
         self.relation_triples_set |= set(sup_triples)

@@ -43,6 +43,7 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "RSN4EA": ("openea_tpu.models.rsn4ea", "RSN4EA"),
     "KDCoE": ("openea_tpu.models.kdcoe", "KDCoE"),
     "KDCoE_wo_desc": ("openea_tpu.models.kdcoe", "KDCoE_wo_desc"),
+    "MultiKE": ("openea_tpu.models.multi_ke", "MultiKE"),
 }
 
 
