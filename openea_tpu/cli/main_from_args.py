@@ -31,7 +31,12 @@ def _resolve_args(spec: str):
     return load_args(spec)
 
 
-def main(argv=None):
+def main(argv=None, mode: str = "full"):
+    """mode: full | test (re-evaluate saved embeddings) | rev (align
+    KG2->KG1) | wo_attr (attribute-free ablation).  These are the four
+    sweep modes of the reference's run_15K.sh / variant drivers
+    (main_from_args_test.py, main_from_args_reversed.py,
+    main_from_args_wo_attr.py)."""
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) < 1:
         print(__doc__)
@@ -42,19 +47,32 @@ def main(argv=None):
         args.training_data = args.training_data + argv[1] + "/"
     if len(argv) >= 3:
         args.dataset_division = argv[2]
+    if len(argv) >= 4:
+        mode = argv[3]
     print(args.embedding_module, args.training_data, args.dataset_division)
 
+    if mode == "wo_attr":
+        args.use_attributes = False
     remove_unlinked = args.embedding_module == "RSN4EA"
-    kgs = read_kgs_from_folder(args.training_data, args.dataset_division,
-                               args.alignment_module, args.ordered,
-                               remove_unlinked=remove_unlinked)
+    if mode == "rev":
+        from openea_tpu.data.kg import read_reversed_kgs_from_folder
+        kgs = read_reversed_kgs_from_folder(
+            args.training_data, args.dataset_division, args.alignment_module,
+            args.ordered, remove_unlinked=remove_unlinked)
+    else:
+        kgs = read_kgs_from_folder(args.training_data, args.dataset_division,
+                                   args.alignment_module, args.ordered,
+                                   remove_unlinked=remove_unlinked)
     model = get_model(args.embedding_module)()
     model.set_args(args)
     model.set_kgs(kgs)
-    model.init()
-    model.run()
-    model.test(save=True)
-    model.save()
+    if mode == "test":
+        model.retest()
+    else:
+        model.init()
+        model.run()
+        model.test(save=True)
+        model.save()
     print("Total run time = {:.3f} s.".format(time.time() - t))
     return 0
 

@@ -1,0 +1,335 @@
+"""MTransEV2: MTransE with dangling-entity detection
+(reference dbp2.0/mtranse.py).
+
+Three per-epoch objectives:
+1. margin TransE over both KGs (embed_margin);
+2. marginal mapping loss on seed links: sum ||map(e1) - e2||^2 plus
+   0.1 * relu(mapping_margin - ||map(rand1) - rand2||^2) on random
+   unaligned pairs, plus mean row orthogonality (reference :139-155);
+3. (detection_mode == 'margin') distance-margin loss pushing each known-
+   unlinked source entity at least `distance_margin` away from its
+   nearest mapped target (reference :175-199); the nearest targets are
+   refreshed per epoch with a blocked device top-1.
+
+Evaluation: relaxed alignment against test2 + all untrained KG2
+candidates, then two-step dangling detection (distance > mean-distance
+margin classifier -> precision/recall/F1) followed by realistic alignment
+on the predicted-matchable set (reference :246-312, eval.py:142-169).
+
+The reference shards these evals over ray actors (dbp2.0/eval.py); here
+the sims/ranks run as the standard blocked device kernels.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from openea_tpu.eval.evaluation import early_stop, greedy_alignment
+from openea_tpu.models.base import BasicModel
+from openea_tpu.ops import bootstrapping as bs
+from openea_tpu.ops import losses as L
+from openea_tpu.ops.initializers import l2_normalize
+from openea_tpu.ops.optim import get_optimizer
+
+
+def eval_margin(input_ents, dis_list, true_labels, margin):
+    """Margin classifier metrics (reference dbp2.0/eval.py:142-169);
+    label 1 = dangling."""
+    n = len(true_labels)
+    n_one = sum(1 for y in true_labels if y == 1.0)
+    tp = fn = tn = fp = 0
+    predicted_match = []
+    for ent, dis, y in zip(input_ents, dis_list, true_labels):
+        if y == 1.0 and dis > margin:
+            tp += 1
+        elif y == 1.0:
+            fn += 1
+        elif dis > margin:
+            fp += 1
+        else:
+            tn += 1
+            predicted_match.append(ent)
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(n_one, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-12)
+    acc = (tp + tn) / max(n, 1)
+    print("dangling detection: precision = {:.3f}, recall = {:.3f}, "
+          "f1 = {:.3f}, accuracy = {:.3f}".format(precision, recall, f1, acc))
+    print("matchable and predicted matchable: {}; predicated matchable: {}"
+          .format(len(predicted_match), tn + fn))
+    return predicted_match, tn + fn
+
+
+class MTransEV2(BasicModel):
+
+    def check_args(self):
+        a = self.args
+        assert a.alignment_module == "mapping"
+        assert a.detection_mode in ("margin", "classification", "open")
+
+    def init(self):
+        super().init()
+        a = self.args
+        self._cand2_train = np.asarray(sorted(
+            self.kgs.kg2.entities_set - set(self.kgs.train_entities2)), np.int32)
+        self._kg1_ents = np.asarray(self.kgs.kg1.entities_list, np.int32)
+        self.map_opt = get_optimizer(a.optimizer, a.learning_rate)
+        self.map_opt_state = self.map_opt.init(self.params)
+        self.dis_opt = get_optimizer(a.optimizer, a.learning_rate)
+        self.dis_opt_state = self.dis_opt.init(self.params)
+        self._np_rng = np.random.RandomState(a.seed)
+        self._map_step_c = None
+        self._dis_step_c = None
+
+    def _triple_loss(self, params, pos, neg, pos_w, neg_w, key=None):
+        phs, prs, pts = self._lookup(params, pos)
+        nhs, nrs, nts = self._lookup(params, neg)
+        return L.margin_loss(phs, prs, pts, nhs, nrs, nts,
+                             self.args.embed_margin, self.args.loss_norm,
+                             pos_w, neg_w)
+
+    # ------------------------------------------------------------------ #
+    # marginal mapping epoch
+    # ------------------------------------------------------------------ #
+
+    def _map_step(self):
+        a = self.args
+        opt = self.map_opt
+
+        def step(params, opt_state, links, rand1, rand2):
+            def loss_fn(p):
+                ent = p["ent_embeds"]
+                if a.ent_l2_norm:
+                    ent = l2_normalize(ent)
+                m = p["mapping_mat"]
+                e1 = l2_normalize(ent[links[:, 0]] @ m)
+                e2 = ent[links[:, 1]]
+                loss = jnp.sum(jnp.square(e1 - e2))
+                if a.mapping_margin > 0.0:
+                    p1 = l2_normalize(ent[rand1] @ m)
+                    n2 = ent[rand2]
+                    neg_d = jnp.sum(jnp.square(p1 - n2), axis=1)
+                    loss = loss + 0.1 * jnp.sum(
+                        jax.nn.relu(a.mapping_margin - neg_d))
+                eye = jnp.eye(m.shape[0])
+                loss = loss + jnp.mean(jnp.sum(jnp.square(m @ m.T - eye), axis=1))
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def launch_mapping_training_1epo(self, epoch: int):
+        start = time.time()
+        a = self.args
+        if self._map_step_c is None:
+            self._map_step_c = self._map_step()
+        links = np.asarray(self.kgs.train_links_array)
+        steps = self._steps
+        bsz = max(1, 2 * len(links) // steps)
+        neg_bsz = bsz * int(a.mapping_neg_num)
+        rng = self._np_rng
+        loss_sum, n = 0.0, 0
+        for _ in range(steps):
+            lb = links[rng.choice(len(links), min(bsz, len(links)), replace=False)]
+            r1 = self._kg1_ents[rng.randint(0, len(self._kg1_ents), neg_bsz)]
+            r2 = self._cand2_train[rng.randint(0, len(self._cand2_train), neg_bsz)]
+            self.params, self.map_opt_state, loss = self._map_step_c(
+                self.params, self.map_opt_state, jnp.asarray(lb),
+                jnp.asarray(r1), jnp.asarray(r2))
+            loss_sum += float(loss)
+            n += len(lb)
+        print("epoch {}, avg. mapping loss: {:.4f}, cost time: {:.1f}s"
+              .format(epoch, loss_sum / max(n, 1), time.time() - start))
+
+    # ------------------------------------------------------------------ #
+    # distance-margin epoch
+    # ------------------------------------------------------------------ #
+
+    def _mapped_source(self, ents):
+        ent = self._ent_embeds_for_eval()
+        x = ent[jnp.asarray(ents, jnp.int32)] @ self.params["mapping_mat"]
+        return l2_normalize(x)
+
+    def _soft_nn_targets(self, source_ents) -> np.ndarray:
+        """Nearest mapped-KG2 candidate per source entity (device top-1;
+        the reference samples an arbitrary member of the unsorted
+        argpartition top-soft_nn — we take the exact top-1)."""
+        ent = self._ent_embeds_for_eval()
+        e1 = self._mapped_source(source_ents)
+        e2 = ent[jnp.asarray(self._cand2_train, jnp.int32)]
+        _, idx = bs.ref_topk(e1, e2, 1, block=self.args.eval_block_size)
+        return self._cand2_train[idx[:, 0]]
+
+    def _dis_step(self):
+        a = self.args
+        opt = self.dis_opt
+
+        def step(params, opt_state, ents1, ents2):
+            def loss_fn(p):
+                ent = p["ent_embeds"]
+                if a.ent_l2_norm:
+                    ent = l2_normalize(ent)
+                x1 = l2_normalize(ent[ents1] @ p["mapping_mat"])
+                x2 = ent[ents2]
+                d = jnp.sum(jnp.square(x1 - x2), axis=1)
+                return 0.1 * jnp.sum(jax.nn.relu(a.distance_margin - d))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def launch_distance_margin_training_1epo(self, epoch: int):
+        unlinked = [e for e, _ in self.kgs.train_unlinked_entities1]
+        if not unlinked:
+            return
+        start = time.time()
+        if self._dis_step_c is None:
+            self._dis_step_c = self._dis_step()
+        steps = self._steps
+        bsz = max(1, len(unlinked) // steps)
+        rng = self._np_rng
+        arr = np.asarray(unlinked, np.int32)
+        loss_sum, n = 0.0, 0
+        for _ in range(max(1, len(unlinked) // bsz)):
+            batch = arr[rng.choice(len(arr), bsz, replace=False)]
+            targets = self._soft_nn_targets(batch)
+            self.params, self.dis_opt_state, loss = self._dis_step_c(
+                self.params, self.dis_opt_state, jnp.asarray(batch),
+                jnp.asarray(targets))
+            loss_sum += float(loss)
+            n += bsz
+        print("epoch {}, margin loss: {:.4f}, cost time: {:.1f}s"
+              .format(epoch, loss_sum / max(n, 1), time.time() - start))
+
+    # ------------------------------------------------------------------ #
+    # evaluation
+    # ------------------------------------------------------------------ #
+
+    def _candidates2(self, for_test: bool):
+        base = (self.kgs.kg2.entities_set - set(self.kgs.train_entities2)
+                - set(self.kgs.valid_entities2))
+        if for_test:
+            base = base - set(self.kgs.test_entities2)
+            return self.kgs.test_entities2 + sorted(base)
+        return self.kgs.valid_entities2 + sorted(base - set(self.kgs.valid_entities2))
+
+    def valid(self, stop_metric):
+        print("\nevaluating alignment (relaxed setting)...")
+        ent = self._ent_embeds_for_eval()
+        e1 = ent[jnp.asarray(self.kgs.valid_entities1, jnp.int32)]
+        e2 = ent[jnp.asarray(self._candidates2(False), jnp.int32)]
+        e1 = e1 @ self.params["mapping_mat"]
+        _, hits1, mr, mrr = greedy_alignment(
+            e1, e2, self.args.top_k, metric=self.args.eval_metric,
+            normalize=self.args.eval_norm, csls_k=0, accurate=False,
+            block=self.args.eval_block_size)
+        return hits1 if stop_metric == "hits1" else mrr
+
+    def evaluate_margin(self, ents_and_labels, margin, is_test=False):
+        print("dangling entity detection...")
+        source_ents = [x[0] for x in ents_and_labels]
+        labels = [x[1] for x in ents_and_labels]
+        if is_test:
+            cands = sorted(self.kgs.kg2.entities_set
+                           - set(self.kgs.train_entities2)
+                           - set(self.kgs.valid_entities2))
+        else:
+            cands = sorted(self.kgs.kg2.entities_set
+                           - set(self.kgs.train_entities2))
+        ent = self._ent_embeds_for_eval()
+        e1 = self._mapped_source(source_ents)
+        e2 = ent[jnp.asarray(cands, jnp.int32)]
+        vals, _ = bs.ref_topk(e1, e2, 1, block=self.args.eval_block_size)
+        dis = 1.0 - vals[:, 0]
+        mean_dis = float(np.mean(dis))
+        print("mean distance:", mean_dis)
+        return eval_margin(source_ents, dis.tolist(), labels, margin=mean_dis)
+
+    def real_entity_alignment_evaluation(self, label11_ents, label1_num,
+                                         matchable_source_ents1):
+        if not label11_ents:
+            print("no predicated matchable entities")
+            return 0.0
+        ent = self._ent_embeds_for_eval()
+        e1 = self._mapped_source(label11_ents)
+        matchable1 = self.kgs.valid_entities1 + self.kgs.test_entities1
+        matchable2 = self.kgs.valid_entities2 + self.kgs.test_entities2
+        pos = {e: i for i, e in enumerate(matchable1)}
+        true_targets = [matchable2[pos[e]] for e in label11_ents]
+        cands = true_targets + sorted(self.kgs.kg2.entities_set
+                                      - set(self.kgs.train_entities2)
+                                      - set(self.kgs.valid_entities2)
+                                      - set(true_targets))
+        e2 = ent[jnp.asarray(cands, jnp.int32)]
+        _, hits1, _, _ = greedy_alignment(
+            e1, e2, self.args.top_k, metric=self.args.eval_metric,
+            normalize=True, csls_k=0, accurate=False,
+            block=self.args.eval_block_size)
+        hits1 /= 100.0
+        precision = hits1 * len(label11_ents) / max(label1_num, 1)
+        recall = hits1 * len(label11_ents) / max(len(matchable_source_ents1), 1)
+        f1 = 2 * precision * recall / max(precision + recall, 1e-12)
+        print("two-step results, precision = {:.3f}, recall = {:.3f}, "
+              "f1 = {:.3f}\n".format(precision, recall, f1))
+        return f1
+
+    def two_step_evaluation_margin(self, matchable1, dangling1, is_test=False):
+        print("evaluating two-step alignment (margin)...")
+        label11, label1_num = self.evaluate_margin(
+            matchable1 + dangling1, self.args.distance_margin, is_test=is_test)
+        return self.real_entity_alignment_evaluation(label11, label1_num,
+                                                     matchable1)
+
+    def test(self, save: bool = True):
+        print("\ntesting synthetic alignment...")
+        ent = self._ent_embeds_for_eval()
+        e1 = ent[jnp.asarray(self.kgs.test_entities1, jnp.int32)]
+        e1 = e1 @ self.params["mapping_mat"]
+        e2 = ent[jnp.asarray(self._candidates2(True), jnp.int32)]
+        greedy_alignment(e1, e2, self.args.top_k, metric=self.args.eval_metric,
+                         normalize=self.args.eval_norm, csls_k=0, accurate=True,
+                         block=self.args.eval_block_size)
+        if self.args.detection_mode == "margin":
+            self.two_step_evaluation_margin(self.kgs.test_linked_entities1,
+                                            self.kgs.test_unlinked_entities1,
+                                            is_test=True)
+
+    # ------------------------------------------------------------------ #
+    # run
+    # ------------------------------------------------------------------ #
+
+    def run(self):
+        t = time.time()
+        a = self.args
+        for i in range(1, a.max_epoch + 1):
+            self.launch_triple_training_1epo(i)
+            self.launch_mapping_training_1epo(i)
+            if a.detection_mode == "margin":
+                self.launch_distance_margin_training_1epo(i)
+            if i >= a.start_valid and i % a.eval_freq == 0:
+                flag = self.valid(a.stop_metric)
+                self.flag1, self.flag2, self.early_stop = early_stop(
+                    self.flag1, self.flag2, flag)
+                if a.detection_mode == "margin" and i > a.get("start_class", 0):
+                    flag = self.two_step_evaluation_margin(
+                        self.kgs.valid_linked_entities1,
+                        self.kgs.valid_unlinked_entities1)
+                    self.flag1, self.flag2, self.early_stop = early_stop(
+                        self.flag1, self.flag2, flag)
+                if self.early_stop or i == a.max_epoch:
+                    break
+            if (a.neg_sampling == "truncated" and i % a.truncated_freq == 0):
+                self._regenerate_neighbors()
+        print("Training ends. Total time = {:.1f} s.".format(time.time() - t))

@@ -320,9 +320,43 @@ class BasicModel:
         print("\ngenerating neighbors of {} entities costs {:.3f} s."
               .format(n, time.time() - t1))
 
+    # ------------------------------------------------------------------ #
+    # checkpoint / resume (absent upstream: the reference saves only final
+    # embeddings and cannot resume, SURVEY.md §5)
+    # ------------------------------------------------------------------ #
+
+    def _checkpoint_state(self, epoch: int):
+        return {"params": self.params, "opt_state": self.opt_state,
+                "key": self.key, "epoch": jnp.asarray(epoch),
+                "flags": jnp.asarray([self.flag1, self.flag2])}
+
+    def save_checkpoint(self, epoch: int, path: Optional[str] = None):
+        from openea_tpu.checkpoint import save_state
+        path = path or os.path.join(self.out_folder, "checkpoint")
+        save_state(path, self._checkpoint_state(epoch))
+
+    def restore_checkpoint(self, path: Optional[str] = None) -> int:
+        """Returns the epoch to resume from (0 = no checkpoint found)."""
+        from openea_tpu.checkpoint import load_state
+        path = path or os.path.join(self.out_folder, "checkpoint")
+        state = load_state(path, self._checkpoint_state(0))
+        if state is None:
+            return 0
+        self.params = jax.tree.map(jnp.asarray, state["params"])
+        self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        self.key = jnp.asarray(state["key"])
+        self.flag1, self.flag2 = (float(x) for x in state["flags"])
+        epoch = int(state["epoch"])
+        print(f"resumed from checkpoint at epoch {epoch}")
+        return epoch
+
     def run(self):
         t = time.time()
-        for epoch in range(1, self.args.max_epoch + 1):
+        start_epoch = 0
+        ckpt_freq = int(self.args.get("checkpoint_freq", 0) or 0)
+        if self.args.get("resume"):
+            start_epoch = self.restore_checkpoint(self.args.get("checkpoint_path"))
+        for epoch in range(start_epoch + 1, self.args.max_epoch + 1):
             self.launch_training_1epo(epoch)
             if epoch >= self.args.start_valid and epoch % self.args.eval_freq == 0:
                 flag = self.valid(self.args.stop_metric)
@@ -333,6 +367,8 @@ class BasicModel:
             if (self.args.neg_sampling == "truncated"
                     and epoch % self.args.truncated_freq == 0):
                 self._regenerate_neighbors()
+            if ckpt_freq and epoch % ckpt_freq == 0:
+                self.save_checkpoint(epoch, self.args.get("checkpoint_path"))
         print("Training ends. Total time = {:.3f} s.".format(time.time() - t))
 
     # ------------------------------------------------------------------ #

@@ -1,0 +1,82 @@
+"""Run-log statistics tooling (reference run/statistics/log2excel.py,
+run_time.py, degree_interval.py).
+
+Parses the framework's (reference-format) log lines — `accurate results:
+hits@[...] = [...]%, mr = ..., mrr = ...`, per-phase `... time/costs ... s`
+— into structured records, and aggregates folds into mean/std summary CSVs
+(the reference emits xlwt Excel sheets; CSV keeps the same content without
+the xlwt dependency)."""
+
+from __future__ import annotations
+
+import csv
+import os
+import re
+from typing import Dict, List, Optional
+
+_ACC = re.compile(
+    r"accurate results(?P<csls> with csls: csls=\d+,)?:? hits@\[(?P<ks>[^\]]*)\]"
+    r" = \[(?P<hits>[^\]]*)\]%, mr = (?P<mr>[\d.]+), mrr = (?P<mrr>[\d.]+)")
+_TIME = re.compile(r"[Tt]ime = ([\d.]+) s|costs? ([\d.]+) s|([\d.]+)s$")
+_TOTAL = re.compile(r"Total run time = ([\d.]+) s")
+
+
+def parse_log(path: str) -> Dict:
+    """Last plain + csls accurate-result lines, plus total time and the
+    sum of all per-phase timings (reference run_time.py:4-30)."""
+    out: Dict = {"file": os.path.basename(path), "plain": None, "csls": None,
+                 "total_time": None, "summed_time": 0.0}
+    with open(path, "r", encoding="utf8", errors="ignore") as f:
+        for line in f:
+            m = _ACC.search(line)
+            if m:
+                rec = {
+                    "top_k": [int(k) for k in m.group("ks").replace(",", " ").split()],
+                    "hits": [float(h) for h in m.group("hits").split()],
+                    "mr": float(m.group("mr")),
+                    "mrr": float(m.group("mrr")),
+                }
+                out["csls" if m.group("csls") else "plain"] = rec
+            mt = _TOTAL.search(line)
+            if mt:
+                out["total_time"] = float(mt.group(1))
+            for val in _TIME.findall(line):
+                for v in val:
+                    if v:
+                        out["summed_time"] += float(v)
+    return out
+
+
+def logs_to_csv(log_paths: List[str], out_csv: str,
+                variant: str = "plain") -> List[Dict]:
+    """One row per log: hits@k columns + mr/mrr/time; final mean/std rows
+    over all parsed folds (the reference's 5-fold summary block)."""
+    rows = []
+    for p in log_paths:
+        rec = parse_log(p)
+        r = rec[variant]
+        if r is None:
+            continue
+        row = {"log": rec["file"], "mr": r["mr"], "mrr": r["mrr"],
+               "time_s": rec["total_time"] or rec["summed_time"]}
+        for k, h in zip(r["top_k"], r["hits"]):
+            row[f"hits@{k}"] = h
+        rows.append(row)
+    if not rows:
+        return rows
+    keys = list(rows[0].keys())
+    import numpy as np
+    numeric = [k for k in keys if k != "log"]
+    mean_row = {"log": "mean"}
+    std_row = {"log": "std"}
+    for k in numeric:
+        vals = np.asarray([r[k] for r in rows], float)
+        mean_row[k] = round(float(vals.mean()), 5)
+        std_row[k] = round(float(vals.std()), 5)
+    os.makedirs(os.path.dirname(out_csv) or ".", exist_ok=True)
+    with open(out_csv, "w", newline="", encoding="utf8") as f:
+        w = csv.DictWriter(f, fieldnames=keys)
+        w.writeheader()
+        for r in rows + [mean_row, std_row]:
+            w.writerow(r)
+    return rows

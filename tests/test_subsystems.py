@@ -1,0 +1,108 @@
+"""Aux subsystems: LSH blocking, checkpoint/resume, log statistics, CLI
+variant modes."""
+
+import os
+
+import numpy as np
+import pytest
+
+from openea_tpu.config import Args
+
+
+def test_lsh_blocker_finds_near_duplicates():
+    from openea_tpu.ops.blocking import LSHBlocker
+    rng = np.random.RandomState(0)
+    base = rng.randn(100, 16).astype(np.float32)
+    blocker = LSHBlocker(hash_size=8, input_dim=16, num_hashtables=4, seed=1)
+    blocker.index(base, list(range(100)))
+    # query with tiny perturbations of indexed points
+    queries = base[:10] + 0.01 * rng.randn(10, 16).astype(np.float32)
+    cands = blocker.query(queries)
+    recall = sum(1 for i, c in enumerate(cands) if i in c) / 10
+    assert recall >= 0.8
+    # candidate sets are much smaller than the full index
+    assert np.mean([len(c) for c in cands]) < 80
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from openea_tpu.checkpoint import save_state, load_state
+    import jax.numpy as jnp
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+             "epoch": jnp.asarray(7)}
+    path = str(tmp_path / "ck")
+    save_state(path, state)
+    like = {"params": {"w": jnp.zeros((2, 3))}, "epoch": jnp.asarray(0)}
+    restored = load_state(path, like)
+    assert int(restored["epoch"]) == 7
+    assert np.allclose(np.asarray(restored["params"]["w"]),
+                       np.arange(6.0).reshape(2, 3))
+
+
+def test_model_checkpoint_resume(tmp_path):
+    from tests.test_models_e2e import make_kgs, run_model
+    ckpt = str(tmp_path / "run_ck")
+    kgs = make_kgs("sharing", seed=5)
+    model, _ = run_model("TransE", "sharing", epochs=6, kgs=kgs,
+                         init="normal", loss="margin-based",
+                         neg_sampling="uniform", optimizer="Adagrad",
+                         eval_metric="inner", loss_norm="L2",
+                         ent_l2_norm=True, rel_l2_norm=True,
+                         neg_triple_num=1, margin=1.5,
+                         checkpoint_freq=3, checkpoint_path=ckpt,
+                         start_valid=1000, eval_freq=1000)
+    assert os.path.exists(ckpt + ".npz")
+    model2, _ = run_model("TransE", "sharing", epochs=6, kgs=kgs,
+                          init="normal", loss="margin-based",
+                          neg_sampling="uniform", optimizer="Adagrad",
+                          eval_metric="inner", loss_norm="L2",
+                          ent_l2_norm=True, rel_l2_norm=True,
+                          neg_triple_num=1, margin=1.5,
+                          resume=True, checkpoint_path=ckpt,
+                          start_valid=1000, eval_freq=1000)
+
+
+def test_log_statistics_parse_and_csv(tmp_path):
+    from openea_tpu.statistics import parse_log, logs_to_csv
+    log = tmp_path / "run1.log"
+    log.write_text(
+        "epoch 10, avg. triple loss: 0.5, cost time: 1.25s\n"
+        "accurate results: hits@[1, 5, 10] = [50.5 70.  80. ]%, mr = 12.0, "
+        "mrr = 0.61, time = 2.0 s \n"
+        "accurate results with csls: csls=10, hits@[1, 5, 10] = "
+        "[60. 75. 85.]%, mr = 9.0, mrr = 0.7, time = 1.5 s \n"
+        "Total run time = 100.5 s.\n")
+    rec = parse_log(str(log))
+    assert rec["plain"]["hits"][0] == 50.5
+    assert rec["csls"]["mrr"] == 0.7
+    assert rec["total_time"] == 100.5
+    out = str(tmp_path / "summary.csv")
+    rows = logs_to_csv([str(log)], out, variant="csls")
+    assert rows[0]["hits@1"] == 60.0
+    assert os.path.exists(out)
+
+
+def test_cli_test_mode(tmp_path):
+    """full run then `test` mode re-evaluates the saved embeddings."""
+    from openea_tpu.data.synthetic import write_kg_pair_folder
+    from openea_tpu.cli.main_from_args import main
+    import json
+
+    ds = tmp_path / "ds" / "SYN"
+    write_kg_pair_folder(str(ds), num_entities=150, num_relations=5,
+                         num_triples=700, seed=3)
+    preset = {
+        "training_data": str(tmp_path / "ds") + "/",
+        "output": str(tmp_path / "out") + "/",
+        "dataset_division": "721_5fold/1/",
+        "embedding_module": "MTransE", "alignment_module": "mapping",
+        "dim": 16, "init": "unit", "ent_l2_norm": True, "rel_l2_norm": True,
+        "loss_norm": "L2", "learning_rate": 0.02, "optimizer": "Adagrad",
+        "max_epoch": 5, "batch_size": 300, "alpha": 5,
+        "start_valid": 100, "eval_freq": 100, "eval_metric": "inner",
+        "eval_norm": True, "csls": 2, "top_k": [1, 5], "seed": 0,
+    }
+    pf = tmp_path / "preset.json"
+    pf.write_text(json.dumps(preset))
+    assert main([str(pf), "SYN", "721_5fold/1/"]) == 0
+    assert main([str(pf), "SYN", "721_5fold/1/", "test"]) == 0
+    assert main([str(pf), "SYN", "721_5fold/1/", "rev"]) == 0
