@@ -44,6 +44,11 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "KDCoE": ("openea_tpu.models.kdcoe", "KDCoE"),
     "KDCoE_wo_desc": ("openea_tpu.models.kdcoe", "KDCoE_wo_desc"),
     "MultiKE": ("openea_tpu.models.multi_ke", "MultiKE"),
+    "GMNN": ("openea_tpu.models.gmnn", "GMNN"),
+    "MTransEV2": ("openea_tpu.dbp2.mtranse_v2", "MTransEV2"),
+    # reference stubs, kept for 1:1 inventory parity
+    "R_GCN": ("openea_tpu.models.stubs", "R_GCN"),
+    "Label2Vec": ("openea_tpu.models.stubs", "Label2Vec"),
 }
 
 
