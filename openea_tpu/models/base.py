@@ -234,11 +234,12 @@ class BasicModel:
                 step, (params, opt_state), (t1s, w1s, t2s, w2s, step_keys))
             return params, opt_state, jnp.sum(losses)
 
-        return jax.jit(epoch, donate_argnums=(0, 1))
+        return epoch
 
     def _epoch_fn(self, use_tables: bool):
         if use_tables not in self._epoch_fn_cache:
-            self._epoch_fn_cache[use_tables] = self._make_epoch_fn(use_tables)
+            self._epoch_fn_cache[use_tables] = jax.jit(
+                self._make_epoch_fn(use_tables), donate_argnums=(0, 1))
         return self._epoch_fn_cache[use_tables]
 
     def _make_mapping_epoch_fn(self):
@@ -270,7 +271,64 @@ class BasicModel:
             (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), idx)
             return params, opt_state, jnp.sum(losses)
 
-        return jax.jit(epoch, donate_argnums=(0, 1))
+        return epoch
+
+    # ------------------------------------------------------------------ #
+    # multi-epoch super-stepping: run K epochs (triple + optional mapping)
+    # in ONE jitted call, removing the per-epoch host-device round trip.
+    # The reference pays a feed_dict transfer per STEP; plain jitted epochs
+    # pay one sync per epoch; a super-step pays one per K epochs.
+    # ------------------------------------------------------------------ #
+
+    def _make_super_epoch_fn(self, k: int, use_tables: bool):
+        triple_raw = self._make_epoch_fn(use_tables)
+        with_mapping = self._uses_mapping()
+        map_raw = self._make_mapping_epoch_fn() if with_mapping else None
+
+        def multi(params, opt_state, map_state, key, t1, w1, t2, w2, n1, n2):
+            def body(carry, ek):
+                p, o, m = carry
+                k1, k2 = jax.random.split(ek)
+                p, o, tl = triple_raw(p, o, k1, t1, w1, t2, w2, n1, n2)
+                if map_raw is not None:
+                    p, m, ml = map_raw(p, m, k2)
+                else:
+                    ml = jnp.zeros(())
+                return (p, o, m), (tl, ml)
+
+            keys = jax.random.split(key, k)
+            (params, opt_state, map_state), (tls, mls) = jax.lax.scan(
+                body, (params, opt_state, map_state), keys)
+            return params, opt_state, map_state, tls, mls
+
+        return jax.jit(multi, donate_argnums=(0, 1, 2))
+
+    def launch_training_k_epo(self, first_epoch: int, k: int):
+        start = time.time()
+        use_tables = self._neigh1 is not None
+        cache_key = ("super", k, use_tables)
+        if cache_key not in self._epoch_fn_cache:
+            self._epoch_fn_cache[cache_key] = self._make_super_epoch_fn(
+                k, use_tables)
+        self.key, kk = jax.random.split(self.key)
+        map_state = (self.mapping_opt_state if self._uses_mapping()
+                     else jnp.zeros(()))
+        (self.params, self.opt_state, map_state, tls, mls) = \
+            self._epoch_fn_cache[cache_key](
+                self.params, self.opt_state, map_state, kk, self._t1,
+                self._w1, self._t2, self._w2, self._neigh1, self._neigh2)
+        if self._uses_mapping():
+            self.mapping_opt_state = map_state
+        tls = np.asarray(tls)
+        mls = np.asarray(mls)
+        dt = (time.time() - start) / k
+        n_links = max(1, self._links.shape[0])
+        for i in range(k):
+            print("epoch {}, avg. triple loss: {:.4f}, cost time: {:.4f}s"
+                  .format(first_epoch + i, tls[i] / self._n_real, dt))
+            if self._uses_mapping():
+                print("epoch {}, avg. mapping loss: {:.4f}, cost time: "
+                      "{:.4f}s".format(first_epoch + i, mls[i] / n_links, dt))
 
     # ------------------------------------------------------------------ #
     # epoch drivers
@@ -291,7 +349,8 @@ class BasicModel:
     def launch_mapping_training_1epo(self, epoch: int):
         start = time.time()
         if not hasattr(self, "_mapping_epoch_fn_c"):
-            self._mapping_epoch_fn_c = self._make_mapping_epoch_fn()
+            self._mapping_epoch_fn_c = jax.jit(self._make_mapping_epoch_fn(),
+                                               donate_argnums=(0, 1))
         self.key, k = jax.random.split(self.key)
         self.params, self.mapping_opt_state, loss_sum = self._mapping_epoch_fn_c(
             self.params, self.mapping_opt_state, k)
@@ -356,13 +415,29 @@ class BasicModel:
         ckpt_freq = int(self.args.get("checkpoint_freq", 0) or 0)
         if self.args.get("resume"):
             start_epoch = self.restore_checkpoint(self.args.get("checkpoint_path"))
-        for epoch in range(start_epoch + 1, self.args.max_epoch + 1):
-            self.launch_training_1epo(epoch)
+        epc = max(1, int(self.args.get("epochs_per_call", 1) or 1))
+        epoch = start_epoch
+        while epoch < self.args.max_epoch:
+            # run up to `epc` epochs in one jitted call, stopping at the
+            # next eval / neighbor-regen / checkpoint boundary
+            k = min(epc, self.args.max_epoch - epoch)
+            for freq in (self.args.eval_freq,
+                         self.args.truncated_freq
+                         if self.args.neg_sampling == "truncated" else 0,
+                         ckpt_freq):
+                if freq:
+                    to_boundary = freq - (epoch % freq)
+                    k = min(k, to_boundary)
+            if k > 1:
+                self.launch_training_k_epo(epoch + 1, k)
+            else:
+                self.launch_training_1epo(epoch + 1)
+            epoch += k
             if epoch >= self.args.start_valid and epoch % self.args.eval_freq == 0:
                 flag = self.valid(self.args.stop_metric)
                 self.flag1, self.flag2, self.early_stop = early_stop(
                     self.flag1, self.flag2, flag)
-                if self.early_stop or epoch == self.args.max_epoch:
+                if self.early_stop or epoch >= self.args.max_epoch:
                     break
             if (self.args.neg_sampling == "truncated"
                     and epoch % self.args.truncated_freq == 0):

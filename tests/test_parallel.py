@@ -66,3 +66,23 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_eval_matches_single_device():
+    import numpy as np
+    from openea_tpu.parallel.eval_sharded import eval_mesh, sharded_greedy_eval
+    from openea_tpu.ops.ranking import rank_and_argmax, metrics_from_ranks
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    e1 = rng.randn(37, 16).astype(np.float32)
+    e2 = rng.randn(41, 16).astype(np.float32)
+    mesh = eval_mesh()
+    hits, mr, mrr = sharded_greedy_eval(mesh, e1, e2, [1, 5, 10],
+                                        normalize=True)
+    ranks, _ = rank_and_argmax(jnp.asarray(e1), jnp.asarray(e2),
+                               jnp.arange(37), metric="inner", normalize=True)
+    hits_ref, mr_ref, mrr_ref = metrics_from_ranks(np.asarray(ranks), [1, 5, 10])
+    assert hits == hits_ref
+    assert abs(mr - mr_ref) < 1e-6
+    assert abs(mrr - mrr_ref) < 1e-9

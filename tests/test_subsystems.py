@@ -106,3 +106,39 @@ def test_cli_test_mode(tmp_path):
     assert main([str(pf), "SYN", "721_5fold/1/"]) == 0
     assert main([str(pf), "SYN", "721_5fold/1/", "test"]) == 0
     assert main([str(pf), "SYN", "721_5fold/1/", "rev"]) == 0
+
+
+def test_experiment_re_evaluate(tmp_path):
+    """Save a run, re-evaluate with inner/CSLS/MCD + hubness + stable."""
+    from openea_tpu.data.synthetic import write_kg_pair_folder
+    from openea_tpu.cli.main_from_args import main
+    from openea_tpu import experiment
+    import json, glob
+
+    ds = tmp_path / "ds" / "SYN"
+    write_kg_pair_folder(str(ds), num_entities=120, num_relations=5,
+                         num_triples=600, seed=9)
+    preset = {
+        "training_data": str(tmp_path / "ds") + "/",
+        "output": str(tmp_path / "out") + "/",
+        "dataset_division": "721_5fold/1/",
+        "embedding_module": "MTransE", "alignment_module": "mapping",
+        "dim": 16, "init": "unit", "ent_l2_norm": True, "rel_l2_norm": True,
+        "loss_norm": "L2", "learning_rate": 0.02, "optimizer": "Adagrad",
+        "max_epoch": 5, "batch_size": 300, "alpha": 5,
+        "start_valid": 100, "eval_freq": 100, "eval_metric": "inner",
+        "eval_norm": True, "csls": 2, "top_k": [1, 5], "seed": 0,
+    }
+    pf = tmp_path / "preset.json"
+    pf.write_text(json.dumps(preset))
+    assert main([str(pf), "SYN", "721_5fold/1/"]) == 0
+    runs = glob.glob(str(tmp_path / "out" / "MTransE" / "SYN" / "721_5fold"
+                         / "1" / "*"))
+    assert runs
+    hits, mrr = experiment.re_evaluate(runs[0], str(ds), "721_5fold/1/",
+                                       top_k=(1, 5), csls=2)
+    assert np.isfinite(mrr)
+    experiment.re_retrieval(runs[0], str(ds), "721_5fold/1/")
+    e1, e2, _ = experiment.test_embeddings(runs[0], str(ds), "721_5fold/1/")
+    stats = experiment.hubness(e1, e2, k=5)
+    assert stats["max_hub"] >= 5
