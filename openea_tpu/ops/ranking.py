@@ -35,6 +35,13 @@ def rank_and_argmax(embed1: jax.Array, embed2: jax.Array,
         embed2 = l2_normalize(embed2)
         metric = "inner" if metric == "cosine" else metric
 
+    if (metric in ("manhattan", "cityblock") and csls_k == 0
+            and jax.devices()[0].platform == "tpu"):
+        # fused Pallas distance+rank kernel: the full [n1, n2] cityblock
+        # matrix never materializes (ops/pallas_kernels.py)
+        from openea_tpu.ops.pallas_kernels import manhattan_rank
+        return manhattan_rank(embed1, embed2, gold_cols.astype(jnp.int32))
+
     r1 = r2 = None
     if csls_k > 0:
         r1 = blocked_row_topk_means(embed1, embed2, csls_k, block, metric, False)
