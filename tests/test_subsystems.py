@@ -142,3 +142,22 @@ def test_experiment_re_evaluate(tmp_path):
     e1, e2, _ = experiment.test_embeddings(runs[0], str(ds), "721_5fold/1/")
     stats = experiment.hubness(e1, e2, k=5)
     assert stats["max_hub"] >= 5
+
+
+def test_tutorial_labs():
+    from openea_tpu.tutorial.labs import (grade_alignment,
+                                          majority_voting,
+                                          match_by_name_similarity,
+                                          truth_accuracy)
+    names1 = {"a1": "University of Oslo", "a2": "Deep Learning"}
+    names2 = {"b1": "university of oslo", "b2": "machine learning"}
+    matches = match_by_name_similarity(names1, names2, threshold=0.8)
+    assert ("a1", "b1", 1.0) in matches
+    p, r, f1 = grade_alignment([(m[0], m[1]) for m in matches],
+                               [("a1", "b1")])
+    assert f1 == 1.0
+    claims = [("s1", "o1", "x"), ("s2", "o1", "x"), ("s3", "o1", "y"),
+              ("s1", "o2", "z")]
+    truth = majority_voting(claims)
+    assert truth == {"o1": "x", "o2": "z"}
+    assert truth_accuracy(truth, {"o1": "x", "o2": "q"}) == 0.5
