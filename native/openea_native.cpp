@@ -1,0 +1,151 @@
+// Native data loader for openea_tpu.
+//
+// The reference is pure Python (SURVEY.md §2: zero native sources); its
+// dataset loading — per-line str.split, python sets of string tuples,
+// frequency counting over dicts — is host-bound and O(seconds..tens of
+// seconds) at 100K scale.  This loader parses a 3-column TSV in one pass,
+// interns URIs into dense ids, deduplicates triples, and counts entity
+// frequencies, returning flat buffers that numpy can wrap zero-copy.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
+//
+// Build:  g++ -O2 -shared -fPIC -std=c++17 openea_native.cpp -o libopenea_native.so
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+struct TripleFile {
+  // vocab: concatenated URI bytes + offsets (uris[i] =
+  // blob[offsets[i]..offsets[i+1]))
+  std::string blob;
+  std::vector<int64_t> offsets{0};
+  // deduplicated triples as interned ids over ONE shared vocab
+  std::vector<int32_t> triples;  // [n, 3] row-major
+  // per-vocab-id frequency over head+tail slots (entity frequency for the
+  // reference's frequency-ordered id assignment, read.py:64-92)
+  std::vector<int64_t> ent_freq;
+
+  std::unordered_map<std::string, int32_t> intern_map;
+  std::unordered_set<uint64_t> seen_small;          // for n_vocab < 2^21
+  std::unordered_set<std::string> seen_big;
+
+  int32_t intern(const char* s, size_t len) {
+    auto it = intern_map.find(std::string(s, len));
+    if (it != intern_map.end()) return it->second;
+    int32_t id = static_cast<int32_t>(offsets.size()) - 1;
+    intern_map.emplace(std::string(s, len), id);
+    blob.append(s, len);
+    offsets.push_back(static_cast<int64_t>(blob.size()));
+    ent_freq.push_back(0);
+    return id;
+  }
+
+  bool add_unique(int32_t h, int32_t r, int32_t t) {
+    if (offsets.size() < (1u << 21)) {
+      uint64_t key = (static_cast<uint64_t>(h) << 42) |
+                     (static_cast<uint64_t>(r) << 21) |
+                     static_cast<uint64_t>(t);
+      if (!seen_small.insert(key).second) return false;
+    } else {
+      char buf[3 * sizeof(int32_t)];
+      std::memcpy(buf, &h, 4);
+      std::memcpy(buf + 4, &r, 4);
+      std::memcpy(buf + 8, &t, 4);
+      if (!seen_big.insert(std::string(buf, sizeof buf)).second) return false;
+    }
+    triples.push_back(h);
+    triples.push_back(r);
+    triples.push_back(t);
+    ent_freq[h] += 1;
+    ent_freq[t] += 1;
+    return true;
+  }
+};
+
+inline const char* trim(const char* b, const char* e, size_t* len) {
+  while (b < e && (*b == ' ' || *b == '\r')) ++b;
+  while (e > b && (e[-1] == ' ' || e[-1] == '\r')) --e;
+  *len = static_cast<size_t>(e - b);
+  return b;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns a handle, or nullptr on IO error / malformed line.
+void* openea_load_triples(const char* path) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  auto* tf = new TripleFile();
+  std::string line;
+  char buf[1 << 16];
+  std::string pending;
+  bool bad = false;
+  auto process = [&](const char* b, const char* e) {
+    if (b == e) return;                       // empty line
+    const char* t1 = static_cast<const char*>(memchr(b, '\t', e - b));
+    if (!t1) { bad = true; return; }
+    const char* t2 = static_cast<const char*>(memchr(t1 + 1, '\t', e - t1 - 1));
+    if (!t2) { bad = true; return; }
+    size_t lh, lr, lt;
+    const char* h = trim(b, t1, &lh);
+    const char* r = trim(t1 + 1, t2, &lr);
+    const char* t = trim(t2 + 1, e, &lt);
+    tf->add_unique(tf->intern(h, lh), tf->intern(r, lr), tf->intern(t, lt));
+  };
+  size_t n;
+  while ((n = std::fread(buf, 1, sizeof buf, f)) > 0 && !bad) {
+    const char* cur = buf;
+    const char* end = buf + n;
+    while (cur < end) {
+      const char* nl = static_cast<const char*>(memchr(cur, '\n', end - cur));
+      if (!nl) { pending.append(cur, end - cur); break; }
+      if (!pending.empty()) {
+        pending.append(cur, nl - cur);
+        process(pending.data(), pending.data() + pending.size());
+        pending.clear();
+      } else {
+        process(cur, nl);
+      }
+      cur = nl + 1;
+    }
+  }
+  std::fclose(f);
+  if (!bad && !pending.empty())
+    process(pending.data(), pending.data() + pending.size());
+  if (bad) { delete tf; return nullptr; }
+  return tf;
+}
+
+int64_t openea_num_triples(void* h) {
+  return static_cast<TripleFile*>(h)->triples.size() / 3;
+}
+int64_t openea_num_uris(void* h) {
+  return static_cast<int64_t>(static_cast<TripleFile*>(h)->offsets.size()) - 1;
+}
+int64_t openea_blob_size(void* h) {
+  return static_cast<int64_t>(static_cast<TripleFile*>(h)->blob.size());
+}
+const int32_t* openea_triples_ptr(void* h) {
+  return static_cast<TripleFile*>(h)->triples.data();
+}
+const int64_t* openea_offsets_ptr(void* h) {
+  return static_cast<TripleFile*>(h)->offsets.data();
+}
+const char* openea_blob_ptr(void* h) {
+  return static_cast<TripleFile*>(h)->blob.data();
+}
+const int64_t* openea_ent_freq_ptr(void* h) {
+  return static_cast<TripleFile*>(h)->ent_freq.data();
+}
+void openea_free(void* h) { delete static_cast<TripleFile*>(h); }
+
+}  // extern "C"

@@ -1,0 +1,117 @@
+"""ctypes bindings for the native TSV loader (native/openea_native.cpp).
+
+Builds the shared library on first use with g++ (no pybind11 in the
+image; plain C ABI + ctypes + zero-copy numpy wraps).  Falls back to the
+pure-Python reader transparently when a toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Set, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "openea_native.cpp")
+_SO = os.path.join(_REPO_ROOT, "native", "libopenea_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or (os.path.exists(_SRC) and
+                                       os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+            if not os.path.exists(_SRC) or not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.openea_load_triples.restype = ctypes.c_void_p
+        lib.openea_load_triples.argtypes = [ctypes.c_char_p]
+        for name in ("openea_num_triples", "openea_num_uris",
+                     "openea_blob_size"):
+            getattr(lib, name).restype = ctypes.c_int64
+            getattr(lib, name).argtypes = [ctypes.c_void_p]
+        lib.openea_triples_ptr.restype = ctypes.POINTER(ctypes.c_int32)
+        lib.openea_triples_ptr.argtypes = [ctypes.c_void_p]
+        lib.openea_offsets_ptr.restype = ctypes.POINTER(ctypes.c_int64)
+        lib.openea_offsets_ptr.argtypes = [ctypes.c_void_p]
+        lib.openea_ent_freq_ptr.restype = ctypes.POINTER(ctypes.c_int64)
+        lib.openea_ent_freq_ptr.argtypes = [ctypes.c_void_p]
+        lib.openea_blob_ptr.restype = ctypes.POINTER(ctypes.c_char)
+        lib.openea_blob_ptr.argtypes = [ctypes.c_void_p]
+        lib.openea_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+class InternedTriples:
+    """Parsed triple file: interned int triples + URI vocabulary."""
+
+    def __init__(self, triples: np.ndarray, uris: list,
+                 ent_freq: np.ndarray):
+        self.triples = triples          # [n, 3] int32 (vocab ids)
+        self.uris = uris                # vocab id -> uri string
+        self.ent_freq = ent_freq        # [n_vocab] int64 head+tail counts
+
+
+def load_triples_native(path: str) -> Optional[InternedTriples]:
+    lib = get_lib()
+    if lib is None or not os.path.exists(path):
+        return None
+    h = lib.openea_load_triples(path.encode("utf8"))
+    if not h:
+        return None
+    try:
+        n = lib.openea_num_triples(h)
+        nv = lib.openea_num_uris(h)
+        nb = lib.openea_blob_size(h)
+        triples = np.ctypeslib.as_array(lib.openea_triples_ptr(h),
+                                        shape=(n, 3)).copy()
+        offsets = np.ctypeslib.as_array(lib.openea_offsets_ptr(h),
+                                        shape=(nv + 1,)).copy()
+        freq = np.ctypeslib.as_array(lib.openea_ent_freq_ptr(h),
+                                     shape=(nv,)).copy()
+        blob = ctypes.string_at(lib.openea_blob_ptr(h), nb)
+        uris = [blob[offsets[i]:offsets[i + 1]].decode("utf8")
+                for i in range(nv)]
+        return InternedTriples(triples, uris, freq)
+    finally:
+        lib.openea_free(h)
+
+
+def read_relation_triples_fast(path: str
+                               ) -> Optional[Tuple[Set, Set, Set]]:
+    """Drop-in fast path for read.read_relation_triples (same outputs)."""
+    it = load_triples_native(path)
+    if it is None:
+        return None
+    uris = it.uris
+    triples = {(uris[h], uris[r], uris[t]) for h, r, t in it.triples}
+    ents = {uris[i] for i in
+            np.unique(it.triples[:, [0, 2]])}
+    rels = {uris[i] for i in np.unique(it.triples[:, 1])}
+    return triples, ents, rels

@@ -28,9 +28,19 @@ Link = Tuple[str, str]
 # ---------------------------------------------------------------------------
 
 def read_relation_triples(path: str) -> Tuple[Set[Triple], Set[str], Set[str]]:
-    """Read `h \\t r \\t t` lines. Returns (triples, entities, relations)."""
+    """Read `h \\t r \\t t` lines. Returns (triples, entities, relations).
+
+    Uses the native C++ interning loader (data/native.py) when available,
+    falling back to the pure-Python parse."""
     if path is None or not os.path.exists(path):
         return set(), set(), set()
+    try:
+        from openea_tpu.data.native import read_relation_triples_fast
+        fast = read_relation_triples_fast(path)
+        if fast is not None:
+            return fast
+    except Exception:
+        pass
     triples: Set[Triple] = set()
     entities: Set[str] = set()
     relations: Set[str] = set()

@@ -411,6 +411,19 @@ class BasicModel:
 
     def run(self):
         t = time.time()
+        # optional device tracing (the reference's only tracing is
+        # time.time() prints, SURVEY.md §5; pass profile_dir for a real
+        # jax.profiler trace of the training loop)
+        profile_dir = self.args.get("profile_dir")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        try:
+            self._run_loop(t)
+        finally:
+            if profile_dir:
+                jax.profiler.stop_trace()
+
+    def _run_loop(self, t):
         start_epoch = 0
         ckpt_freq = int(self.args.get("checkpoint_freq", 0) or 0)
         if self.args.get("resume"):

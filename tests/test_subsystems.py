@@ -161,3 +161,17 @@ def test_tutorial_labs():
     truth = majority_voting(claims)
     assert truth == {"o1": "x", "o2": "z"}
     assert truth_accuracy(truth, {"o1": "x", "o2": "q"}) == 0.5
+
+
+def test_native_tsv_loader(tmp_path):
+    from openea_tpu.data.native import read_relation_triples_fast, get_lib
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    p = tmp_path / "rel.tsv"
+    p.write_text("a\tr1\tb\nb\tr2\tc\na\tr1\tb\n ws \t r \t x \n")
+    fast = read_relation_triples_fast(str(p))
+    assert fast is not None
+    triples, ents, rels = fast
+    assert triples == {("a", "r1", "b"), ("b", "r2", "c"), ("ws", "r", "x")}
+    assert ents == {"a", "b", "c", "ws", "x"}
+    assert rels == {"r1", "r2", "r"}
