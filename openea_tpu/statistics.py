@@ -80,3 +80,60 @@ def logs_to_csv(log_paths: List[str], out_csv: str,
         for r in rows + [mean_row, std_row]:
             w.writerow(r)
     return rows
+
+
+def csv_to_latex(csv_path: str, out_path: Optional[str] = None,
+                 caption: str = "") -> str:
+    """Summary CSV -> LaTeX tabular (reference run/statistics/excel2latex.py)."""
+    with open(csv_path, "r", encoding="utf8") as f:
+        rows = list(csv.reader(f))
+    if not rows:
+        return ""
+    head, body = rows[0], rows[1:]
+    lines = ["\\begin{table}[ht]", "\\centering",
+             "\\begin{tabular}{" + "l" + "r" * (len(head) - 1) + "}",
+             "\\toprule",
+             " & ".join(h.replace("_", "\\_") for h in head) + " \\\\",
+             "\\midrule"]
+    for r in body:
+        lines.append(" & ".join(str(c).replace("_", "\\_") for c in r) + " \\\\")
+    lines += ["\\bottomrule", "\\end{tabular}"]
+    if caption:
+        lines.append(f"\\caption{{{caption}}}")
+    lines.append("\\end{table}")
+    out = "\n".join(lines)
+    if out_path:
+        with open(out_path, "w", encoding="utf8") as f:
+            f.write(out)
+    return out
+
+
+def degree_interval_accuracy(kgs, alignment_pairs, intervals=(1, 3, 5, 10,
+                                                              1 << 30)):
+    """Hits@1 per source-entity degree bucket (reference
+    run/statistics/degree_interval.py): how accuracy varies with how
+    connected the entity is."""
+    deg = {}
+    for h, _, t in kgs.kg1.local_relation_triples_set:
+        deg[h] = deg.get(h, 0) + 1
+        deg[t] = deg.get(t, 0) + 1
+    gold = dict(zip(kgs.test_entities1, kgs.test_entities2))
+    buckets = {}
+    for e1, e2 in alignment_pairs:
+        d = deg.get(e1, 0)
+        for ub in intervals:
+            if d <= ub:
+                b = buckets.setdefault(ub, [0, 0])
+                b[1] += 1
+                if gold.get(e1) == e2:
+                    b[0] += 1
+                break
+    out = {}
+    for ub in intervals:
+        if ub in buckets:
+            correct, total = buckets[ub]
+            label = f"<={ub}" if ub < (1 << 30) else f">{intervals[-2]}"
+            out[label] = (correct / total, total)
+    for label, (acc, total) in out.items():
+        print(f"degree {label}: hits@1 = {acc:.3f} ({total} entities)")
+    return out

@@ -175,3 +175,33 @@ def test_native_tsv_loader(tmp_path):
     assert triples == {("a", "r1", "b"), ("b", "r2", "c"), ("ws", "r", "x")}
     assert ents == {"a", "b", "c", "ws", "x"}
     assert rels == {"r1", "r2", "r"}
+
+
+def test_csv_to_latex_and_degree_intervals(tmp_path):
+    from openea_tpu.statistics import csv_to_latex, degree_interval_accuracy
+    from openea_tpu.data.synthetic import synthesize_kg_pair
+    csvp = tmp_path / "s.csv"
+    csvp.write_text("log,hits@1,mrr\nrun1,50.0,0.6\nmean,50.0,0.6\n")
+    tex = csv_to_latex(str(csvp), caption="test")
+    assert "\\begin{tabular}" in tex and "50.0" in tex
+    kgs = synthesize_kg_pair(num_entities=100, num_relations=5,
+                             num_triples=500, mode="mapping", seed=2)
+    # perfect alignment -> every bucket has hits@1 == 1.0
+    pairs = list(zip(kgs.test_entities1, kgs.test_entities2))
+    out = degree_interval_accuracy(kgs, pairs)
+    assert out and all(acc == 1.0 for acc, _ in out.values())
+
+
+def test_main_with_args_cli(tmp_path):
+    from openea_tpu.data.synthetic import write_kg_pair_folder
+    from openea_tpu.cli.main_with_args import main
+    ds = tmp_path / "ds" / "SYN"
+    write_kg_pair_folder(str(ds), num_entities=120, num_relations=5,
+                         num_triples=600, seed=4)
+    rc = main(["--embedding_module", "MTransE",
+               "--training_data", str(tmp_path / "ds") + "/",
+               "--dataset", "SYN", "--split", "721_5fold/1/",
+               "--output", str(tmp_path / "out") + "/",
+               "--dim", "16", "--max_epoch", "4", "--batch_size", "300",
+               "--start_valid", "100", "--top_k", "[1, 5]", "--csls", "2"])
+    assert rc == 0
