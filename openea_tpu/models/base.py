@@ -516,7 +516,8 @@ class BasicModel:
         hits1, mrr = eval_valid(e1, e2, mapping, self.args.top_k,
                                 metric=self.args.eval_metric,
                                 normalize=self.args.eval_norm,
-                                csls_k=0, accurate=False)
+                                csls_k=0, accurate=False,
+                                compute_dtype=self.args.get("compute_dtype"))
         return hits1 if stop_metric == "hits1" else mrr
 
     def test(self, save: bool = True):
