@@ -86,3 +86,24 @@ def test_sharded_eval_matches_single_device():
     assert hits == hits_ref
     assert abs(mr - mr_ref) < 1e-6
     assert abs(mrr - mrr_ref) < 1e-9
+
+
+def test_sharded_spmm_matches_dense():
+    import numpy as np
+    import jax.numpy as jnp
+    from openea_tpu.ops.graph import build_sparse, spmm
+    from openea_tpu.parallel.eval_sharded import eval_mesh
+    from openea_tpu.parallel.spmm_sharded import partition_adj, sharded_spmm
+
+    rng = np.random.RandomState(0)
+    n, m, d = 53, 53, 12
+    dense = (rng.rand(n, m) < 0.15) * rng.randn(n, m)
+    row, col = np.nonzero(dense)
+    adj = build_sparse(row.astype(np.int32), col.astype(np.int32),
+                       dense[row, col].astype(np.float32), n)
+    x = jnp.asarray(rng.randn(m, d).astype(np.float32))
+    mesh = eval_mesh()
+    sadj = partition_adj(adj, mesh.size)
+    out = np.asarray(sharded_spmm(mesh, sadj, x))
+    ref = np.asarray(spmm(adj, x))
+    assert np.allclose(out, ref, atol=1e-5)
