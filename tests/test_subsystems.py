@@ -205,3 +205,14 @@ def test_main_with_args_cli(tmp_path):
                "--dim", "16", "--max_epoch", "4", "--batch_size", "300",
                "--start_valid", "100", "--top_k", "[1, 5]", "--csls", "2"])
     assert rc == 0
+
+
+def test_approx_lsh_eval_close_to_exact():
+    from openea_tpu.eval.approx import approx_greedy_eval
+    rng = np.random.RandomState(0)
+    base = rng.randn(300, 32).astype(np.float32)
+    e2 = base + 0.05 * rng.randn(300, 32).astype(np.float32)
+    hits, mr, mrr, recall = approx_greedy_eval(base, e2, [1, 5],
+                                               hash_size=10, num_tables=8)
+    assert recall > 0.9       # near-duplicates land in shared buckets
+    assert hits[0] > 80.0
