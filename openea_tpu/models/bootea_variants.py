@@ -120,8 +120,7 @@ class BootEA_RotatE(RotatE, BootEA):
         align_times = int(self.args.get("align_times", 1))
         for i in range(1, iter_nums + 1):
             print("\niteration", i)
-            for j in range(1, sub_num + 1):
-                self.launch_training_1epo((i - 1) * sub_num + j)
+            self.launch_training_k_epo((i - 1) * sub_num + 1, sub_num)
             if i * sub_num >= self.args.start_valid:
                 flag = self.valid(self.args.stop_metric)
                 self.flag1, self.flag2, self.early_stop = early_stop(
