@@ -1,8 +1,6 @@
 """Variant driver (reference run/main_from_args_wo_attr.py): same CLI contract
 as main_from_args, pinned to its mode."""
 
-import sys
-
 from openea_tpu.cli.main_from_args import main
 
 if __name__ == "__main__":

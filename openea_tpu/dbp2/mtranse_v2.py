@@ -22,7 +22,6 @@ the sims/ranks run as the standard blocked device kernels.
 
 from __future__ import annotations
 
-import math
 import time
 from typing import List, Tuple
 

@@ -11,9 +11,6 @@ candidate set — report the candidate recall alongside.
 
 from __future__ import annotations
 
-from typing import List, Tuple
-
-import jax.numpy as jnp
 import numpy as np
 
 from openea_tpu.ops.blocking import LSHBlocker

@@ -41,8 +41,8 @@ from openea_tpu.data import read as rd
 from openea_tpu.eval.evaluation import early_stop
 from openea_tpu.models.base import BasicModel
 from openea_tpu.ops import bootstrapping as bs
-from openea_tpu.ops.graph import (SparseAdj, build_sparse, segment_softmax,
-                                  spmm, undirected_normalized_adj)
+from openea_tpu.ops.graph import (SparseAdj, segment_softmax, spmm,
+                                  undirected_normalized_adj)
 from openea_tpu.ops.initializers import l2_normalize
 from openea_tpu.ops.similarity import blocked_row_topk_means
 

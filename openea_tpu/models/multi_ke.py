@@ -39,7 +39,6 @@ from openea_tpu.models.literal_encoder import LiteralEncoder, clear_attribute_tr
 from openea_tpu.models.predicate_align import PredicateAlignModel
 from openea_tpu.ops.initializers import l2_normalize, xavier_init
 from openea_tpu.ops.optim import get_optimizer
-from openea_tpu.ops.sampling import proportional_batch_sizes
 
 
 def _gnorm(x):

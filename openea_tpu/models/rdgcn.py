@@ -47,7 +47,6 @@ from openea_tpu.data.name_vectors import name_vectors
 from openea_tpu.eval.evaluation import early_stop
 from openea_tpu.models.base import BasicModel
 from openea_tpu.ops.graph import segment_softmax
-from openea_tpu.ops.initializers import l2_normalize
 
 
 def _glorot(key, shape):

@@ -23,7 +23,6 @@ replacement batching + LSTM + NCE + clipped Adam) is one jitted scan.
 
 from __future__ import annotations
 
-import math
 import os
 import time
 from typing import Dict, Tuple

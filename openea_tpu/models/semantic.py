@@ -13,7 +13,6 @@ mode.  TPU notes:
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from openea_tpu.ops.initializers import l2_normalize
 from openea_tpu.ops.matching import check_new_alignment, mwgm_greedy
 
 Pair = Tuple[int, int]

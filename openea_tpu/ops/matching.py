@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from openea_tpu.ops.ranking import rank_and_argmax
 from openea_tpu.ops.similarity import sim as sim_matrix
 
 
