@@ -424,6 +424,32 @@ class BasicModel:
         print(f"resumed from checkpoint at epoch {epoch}")
         return epoch
 
+    def precompile(self):
+        """AOT-compile the training functions without executing them
+        (jit.lower().compile()), so a subsequent run() measures steady-state
+        compute.  First-compile on the axon backend costs minutes and
+        varies with server load; callers that report timings should
+        precompile outside the timed region."""
+        t = time.time()
+        use_tables = self._neigh1 is not None
+        epc = max(1, int(self.args.get("epochs_per_call", 1) or 1))
+        map_state = (self.mapping_opt_state if self._uses_mapping()
+                     else jnp.zeros(()))
+        if epc > 1:
+            key = ("super", epc, use_tables)
+            if key not in self._epoch_fn_cache:
+                self._epoch_fn_cache[key] = self._make_super_epoch_fn(
+                    epc, use_tables)
+            self._epoch_fn_cache[key].lower(
+                self.params, self.opt_state, map_state, self.key, self._t1,
+                self._w1, self._t2, self._w2, self._neigh1,
+                self._neigh2).compile()
+        else:
+            self._epoch_fn(use_tables).lower(
+                self.params, self.opt_state, self.key, self._t1, self._w1,
+                self._t2, self._w2, self._neigh1, self._neigh2).compile()
+        print("precompile done in {:.1f} s".format(time.time() - t))
+
     def run(self):
         t = time.time()
         # optional device tracing (the reference's only tracing is
