@@ -161,6 +161,14 @@ class GCN_Align(BasicModel):
     # training
     # ------------------------------------------------------------------ #
 
+    def precompile(self):
+        import time as _time
+        t = _time.time()
+        tk = self._train_links.shape[0] * int(self.args.neg_triple_num)
+        dummy = jnp.zeros((tk,), jnp.int32)
+        self._step_fn.lower(self.params, self.opt_state, dummy, dummy).compile()
+        print("precompile done in {:.1f} s".format(_time.time() - t))
+
     def _sample_negs(self):
         t = self._train_links.shape[0]
         k = int(self.args.neg_triple_num)

@@ -279,6 +279,15 @@ class RDGCN(BasicModel):
     # run / eval
     # ------------------------------------------------------------------ #
 
+    def precompile(self):
+        t = time.time()
+        if self._step is None:
+            self._step = self._make_step()
+        tk = self._links.shape[0] * int(self.args.neg_triple_num)
+        dummy = jnp.zeros((tk,), jnp.int32)
+        self._step.lower(self.params, self.opt_state, dummy, dummy).compile()
+        print("precompile done in {:.1f} s".format(time.time() - t))
+
     def run(self):
         t0 = time.time()
         a = self.args
