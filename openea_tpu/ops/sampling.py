@@ -39,7 +39,10 @@ def corrupt_batch(key: jax.Array, pos: jax.Array, num_neg: int,
     positive, same layout as reference batches)."""
     b = pos.shape[0]
     k_coin, k_h, k_t = jax.random.split(key, 3)
-    coin = jax.random.bernoulli(k_coin, 0.5, (b, num_neg))
+    # one coin per POSITIVE: all of a positive's negatives corrupt the
+    # same side, matching generate_neg_triples_fast (batch.py:89-106)
+    coin = jax.random.bernoulli(k_coin, 0.5, (b, 1))
+    coin = jnp.broadcast_to(coin, (b, num_neg))
 
     if table is None:
         n = entities.shape[0]
