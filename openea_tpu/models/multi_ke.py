@@ -152,6 +152,12 @@ class MultiKE(BasicModel):
         self._fns = {}
         self._ents1 = jnp.asarray(self.kgs.kg1.entities)
         self._ents2 = jnp.asarray(self.kgs.kg2.entities)
+        # per-entity KG membership for in-loss negative sampling (the
+        # reference corrupts within the positive's own KG)
+        import numpy as _np
+        memb = _np.zeros(max(1, self.kgs.max_entities_id), _np.int8)
+        memb[_np.asarray(self.kgs.kg2.entities)] = 1
+        self._memb = jnp.asarray(memb)
 
     def _t(self, params, name):
         tab = params[name]
@@ -241,11 +247,16 @@ class MultiKE(BasicModel):
         rel = self._t(p, "rel_embeds")
         fin = self._t(p, "ent_embeds")
         phs, prs, pts = rv[batch[:, 0]], rel[batch[:, 1]], rv[batch[:, 2]]
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         num_neg = max(1, int(self.args.neg_triple_num))
-        coin = jax.random.bernoulli(k1, 0.5, (batch.shape[0], num_neg))
-        cand = self._all_ents_cat[jax.random.randint(
-            k2, (batch.shape[0], num_neg), 0, self._all_ents_cat.shape[0])]
+        coin = jax.random.bernoulli(k1, 0.5, (batch.shape[0], 1))
+        coin = jnp.broadcast_to(coin, (batch.shape[0], num_neg))
+        # corrupt within the positive's own KG (membership-selected)
+        c1 = self._ents1[jax.random.randint(
+            k2, (batch.shape[0], num_neg), 0, self._ents1.shape[0])]
+        c2 = self._ents2[jax.random.randint(
+            k3, (batch.shape[0], num_neg), 0, self._ents2.shape[0])]
+        cand = jnp.where(self._memb[batch[:, 0:1]] == 0, c1, c2)
         nh = jnp.where(coin, cand, batch[:, 0:1]).reshape(-1)
         nt = jnp.where(coin, batch[:, 2:3], cand).reshape(-1)
         nr = jnp.repeat(batch[:, 1], num_neg)
