@@ -115,22 +115,51 @@ def sample_paths(kb: pd.DataFrame, kgs, alpha: float, beta: float,
     htailmat = csr_matrix((np.ones(len(htail)), (htail[:, 0], htail[:, 1])),
                           shape=(ent_num, len(rtlist)))
 
+    # global cumulative base probabilities: one vectorized searchsorted
+    # draws a base-biased candidate for EVERY walk at once (the reference
+    # does a pandas .apply per row, rsn4ea.py:174-202)
+    cum = np.cumsum(base_p)
+    seg_lo = indptr[:-1]
+    seg_hi = indptr[1:]
+    cum_lo = np.where(seg_lo > 0, cum[seg_lo - 1], 0.0)
+    seg_total = np.where(seg_hi > seg_lo, cum[seg_hi - 1] - cum_lo, 0.0)
+
+    def draw_base(curr_ents):
+        """Vectorized draw from the cross-KG-biased base distribution."""
+        lo = seg_lo[curr_ents]
+        total = seg_total[curr_ents]
+        targets = cum_lo[curr_ents] + rng.rand(len(curr_ents)) * total
+        idx = np.searchsorted(cum, targets, side="right")
+        idx = np.minimum(idx, seg_hi[curr_ents] - 1)
+        idx = np.maximum(idx, lo)
+        out = cand_s[idx]
+        out[total <= 0] = -1
+        return out
+
+    max_bias = max(alpha, 1.0 - alpha)
+
     def draw(curr_ents, pre_ents=None):
-        """One biased step from each entity in curr_ents -> rt ids."""
-        out = np.zeros(len(curr_ents), np.int64)
-        u = rng.rand(len(curr_ents))
-        for i, h in enumerate(curr_ents):
-            lo, hi = indptr[h], indptr[h + 1]
-            if lo == hi:
-                out[i] = -1
-                continue
-            p = base_p[lo:hi].copy()
-            if pre_ents is not None:
-                conn = htailmat[pre_ents[i], cand_s[lo:hi]].toarray().ravel()
-                p = p * np.where(conn > 0, 1.0 - alpha, alpha)
-            c = np.cumsum(p)
-            out[i] = cand_s[lo + np.searchsorted(c, u[i] * c[-1], side="right")
-                            .clip(0, hi - lo - 1)]
+        """Depth-biased draw via vectorized rejection sampling: propose
+        from the base distribution, accept with prob bias/max_bias where
+        bias is (1-alpha) for candidates connected to the pre-predecessor
+        and alpha otherwise (reference perform_random2)."""
+        if pre_ents is None:
+            return draw_base(curr_ents)
+        out = -np.ones(len(curr_ents), np.int64)
+        pending = np.arange(len(curr_ents))
+        for _ in range(24):
+            if len(pending) == 0:
+                break
+            ce = curr_ents[pending]
+            prop = draw_base(ce)
+            dead = prop < 0
+            conn = np.asarray(htailmat[pre_ents[pending], prop]).ravel()
+            bias = np.where(conn > 0, 1.0 - alpha, alpha)
+            accept = (rng.rand(len(pending)) * max_bias <= bias) | dead
+            out[pending[accept]] = prop[accept]
+            pending = pending[~accept]
+        if len(pending):  # stragglers: accept the base proposal
+            out[pending] = draw_base(curr_ents[pending])
         return out
 
     hrt = np.repeat(vals, repeat_times, axis=0)
