@@ -609,8 +609,11 @@ class BasicModel:
     def predict(self, top_k: int = 1, min_sim_value: Optional[float] = None,
                 output_file_name: Optional[str] = None):
         ent = self._ent_embeds_for_eval()
-        e1 = ent[self._ents1]
-        e2 = ent[self._ents2]
+        # built from kgs (models with custom init don't prepare _ents1/2)
+        ents1 = jnp.asarray(self.kgs.kg1.entities)
+        ents2 = jnp.asarray(self.kgs.kg2.entities)
+        e1 = ent[ents1]
+        e2 = ent[ents2]
         mapping = self._mapping_for_eval()
         if mapping is not None:
             e1 = e1 @ mapping
@@ -638,8 +641,8 @@ class BasicModel:
 
         kg1_uri = {v: k for k, v in self.kgs.kg1.entities_id_dict.items()}
         kg2_uri = {v: k for k, v in self.kgs.kg2.entities_id_dict.items()}
-        ents1 = np.asarray(self._ents1)
-        ents2 = np.asarray(self._ents2)
+        ents1 = np.asarray(ents1)
+        ents2 = np.asarray(ents2)
         out = [(kg1_uri[int(ents1[i])], kg2_uri[int(ents2[j])], float(s_np[i, j]))
                for i, j in matched]
         if output_file_name is not None:

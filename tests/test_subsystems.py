@@ -216,3 +216,16 @@ def test_approx_lsh_eval_close_to_exact():
                                                hash_size=10, num_tables=8)
     assert recall > 0.9       # near-duplicates land in shared buckets
     assert hits[0] > 80.0
+
+
+def test_predict_works_for_gnn_models(tmp_path):
+    """predict() must not depend on BasicModel training arrays."""
+    from tests.test_models_e2e import run_model
+    model, kgs = run_model(
+        "GCN_Align", "mapping", epochs=5,
+        learning_rate=2.0, gamma=3.0, beta=0.9, neg_triple_num=5,
+        se_dim=16, ae_dim=16, dim=16, eval_metric="manhattan",
+        eval_norm=False, start_valid=1000, eval_freq=1000)
+    out = model.predict(top_k=1)
+    assert len(out) > 0
+    assert all(isinstance(u, str) for u, _, _ in out[:5])
