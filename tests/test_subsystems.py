@@ -229,3 +229,23 @@ def test_predict_works_for_gnn_models(tmp_path):
     out = model.predict(top_k=1)
     assert len(out) > 0
     assert all(isinstance(u, str) for u, _, _ in out[:5])
+
+
+def test_same_seed_same_results():
+    """Full determinism: two runs with one seed produce identical params."""
+    from tests.test_models_e2e import make_kgs, run_model
+    import jax.numpy as jnp
+    kgs = make_kgs("swapping", seed=3)
+    outs = []
+    for _ in range(2):
+        model, _ = run_model("AlignE", "swapping", epochs=10, kgs=kgs,
+                             learning_rate=0.05, init="normal", loss="limited",
+                             neg_sampling="truncated", optimizer="Adagrad",
+                             eval_metric="inner", loss_norm="L2",
+                             ent_l2_norm=True, rel_l2_norm=True,
+                             pos_margin=0.01, neg_margin=2.0,
+                             neg_margin_balance=0.2, neg_triple_num=4,
+                             truncated_epsilon=0.9, truncated_freq=5,
+                             start_valid=1000, eval_freq=1000, seed=11)
+        outs.append(np.asarray(model.params["ent_embeds"]))
+    assert np.array_equal(outs[0], outs[1])
