@@ -69,7 +69,15 @@ def main():
 
     t0 = time.time()
     model.run()
-    model.test(save=False)
+    from openea_tpu.eval.evaluation import test as eval_test
+    e1, e2, mapping = model._eval_test_embeddings()
+    _, hits1, mrr = eval_test(e1, e2, mapping, args.top_k,
+                              metric=args.eval_metric, normalize=args.eval_norm,
+                              csls_k=0, accurate=True)
+    _, hits1_csls, mrr_csls = eval_test(e1, e2, mapping, args.top_k,
+                                        metric=args.eval_metric,
+                                        normalize=args.eval_norm,
+                                        csls_k=args.csls, accurate=True)
     total_s = time.time() - t0
 
     result = {
@@ -79,6 +87,10 @@ def main():
         "vs_baseline": round(BASELINE_MTRANSE_15K_S / total_s, 3),
         "setup_s": round(setup_s, 3),
         "compile_s": round(compile_s, 3),
+        "hits1": hits1,
+        "mrr": round(mrr, 4),
+        "hits1_csls": hits1_csls,
+        "mrr_csls": round(mrr_csls, 4),
     }
     print(json.dumps(result))
 
