@@ -263,17 +263,12 @@ class RDGCN(BasicModel):
 
         return jax.jit(step, donate_argnums=(0, 1))
 
-    def _nearest_negatives(self, out, anchor_ids, k: int, block: int = 256):
-        """cityblock-nearest entity ids per anchor (reference get_neg)."""
-        anchors = out[anchor_ids]
-        n = anchors.shape[0]
-        parts = []
-        for s in range(0, n, block):
-            a = anchors[s:s + block]
-            d = jnp.sum(jnp.abs(a[:, None, :] - out[None, :, :]), axis=-1)
-            _, idx = jax.lax.top_k(-d, k)
-            parts.append(np.asarray(idx))
-        return np.concatenate(parts, axis=0).reshape(-1)
+    def _nearest_negatives(self, out, anchor_ids, k: int):
+        """cityblock-nearest entity ids per anchor (reference get_neg),
+        via the streaming blocked top-k (bounded memory at 15K+)."""
+        from openea_tpu.ops.neighbors import cityblock_topk
+        idx = cityblock_topk(out[anchor_ids], out, k)
+        return np.asarray(idx).reshape(-1)
 
     # ------------------------------------------------------------------ #
     # run / eval

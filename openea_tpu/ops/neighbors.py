@@ -37,6 +37,48 @@ def top_k_neighbors(embeds: jax.Array, entity_ids: jax.Array, k: int,
     return out[:n]
 
 
+@partial(jax.jit, static_argnames=("k", "row_block", "col_block"))
+def cityblock_topk(anchors: jax.Array, table: jax.Array, k: int,
+                   row_block: int = 256, col_block: int = 512) -> jax.Array:
+    """Indices of each anchor's k cityblock-NEAREST table rows, streamed
+    over column blocks with a running top-k merge — memory stays at
+    O(row_block * col_block * d) instead of O(rows * n * d) (the RDGCN
+    hard-negative miner, reference rdgcn.py:75-87, is a full host cdist)."""
+    n_a, d = anchors.shape
+    n_t = table.shape[0]
+    rb = -(-n_a // row_block) * row_block
+    cbn = -(-n_t // col_block)
+    cb_total = cbn * col_block
+    # pad table with far-away rows so padded columns never enter the top-k
+    tpad = jnp.full((cb_total - n_t, d), 1e18, table.dtype)
+    tab = jnp.concatenate([table, tpad]) if cb_total > n_t else table
+    apad = jnp.zeros((rb - n_a, d), anchors.dtype)
+    anc = jnp.concatenate([anchors, apad]) if rb > n_a else anchors
+
+    def rows(block_rows):
+        def step(carry, cb):
+            vals, idx = carry
+            cols = jax.lax.dynamic_slice(tab, (cb * col_block, 0),
+                                         (col_block, d))
+            dist = jnp.sum(jnp.abs(block_rows[:, None, :] - cols[None, :, :]),
+                           axis=-1)
+            cb_ids = cb * col_block + jnp.arange(col_block, dtype=jnp.int32)
+            allv = jnp.concatenate([vals, -dist], axis=1)
+            alli = jnp.concatenate(
+                [idx, jnp.broadcast_to(cb_ids, dist.shape)], axis=1)
+            v2, pos = jax.lax.top_k(allv, k)
+            return (v2, jnp.take_along_axis(alli, pos, axis=1)), None
+
+        init = (jnp.full((block_rows.shape[0], k), -3.4e38),
+                jnp.zeros((block_rows.shape[0], k), jnp.int32))
+        (vals, idx), _ = jax.lax.scan(step, init,
+                                      jnp.arange(cbn, dtype=jnp.int32))
+        return idx
+
+    out = jax.lax.map(rows, anc.reshape(rb // row_block, row_block, d))
+    return out.reshape(rb, k)[:n_a]
+
+
 def build_neighbor_table(embeds, entity_ids, k: int, max_id: int,
                          block: int = 2048) -> NeighborTable:
     """Neighbor table + global-id -> row lookup for one KG."""

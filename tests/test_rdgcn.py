@@ -61,3 +61,18 @@ def test_rdgcn_wo_attr_variant_runs():
         start_valid=1000, eval_freq=1000)
     hits1, mrr = test_hits1(model)
     assert np.isfinite(mrr)
+
+
+def test_cityblock_topk_matches_naive():
+    import jax.numpy as jnp
+    from openea_tpu.ops.neighbors import cityblock_topk
+    rng = np.random.RandomState(0)
+    anchors = rng.randn(37, 9).astype(np.float32)
+    table = rng.randn(143, 9).astype(np.float32)
+    idx = np.asarray(cityblock_topk(jnp.asarray(anchors), jnp.asarray(table),
+                                    5, row_block=16, col_block=32))
+    D = np.abs(anchors[:, None, :] - table[None, :, :]).sum(-1)
+    ref = np.argsort(D, axis=1)[:, :5]
+    # compare as sets per row (tie order may differ)
+    for i in range(37):
+        assert set(idx[i]) == set(ref[i]), i
