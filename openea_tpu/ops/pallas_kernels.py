@@ -73,6 +73,48 @@ def _manhattan_rank_kernel(e1t_ref, e2t_ref, gold_ref, goldd_ref,
     best_ref[:] = jnp.where(better, tile_idx, best_ref[:])
 
 
+def _cityblock_mat_kernel(e1t_ref, e2t_ref, out_ref, feat_chunk: int):
+    tm = e1t_ref.shape[1]
+    tn = e2t_ref.shape[1]
+    d = e1t_ref.shape[0]
+
+    def body(c, dist):
+        off = pl.multiple_of(c * feat_chunk, feat_chunk)
+        xd = e1t_ref[pl.ds(off, feat_chunk), :]
+        yd = e2t_ref[pl.ds(off, feat_chunk), :]
+        return dist + jnp.sum(jnp.abs(xd[:, :, None] - yd[:, None, :]), axis=0)
+
+    out_ref[:] = jax.lax.fori_loop(0, d // feat_chunk, body,
+                                   jnp.zeros((tm, tn), jnp.float32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tm", "tn", "feat_chunk", "interpret"))
+def cityblock_matrix(embed1: jax.Array, embed2: jax.Array, tm: int = 256,
+                     tn: int = 512, feat_chunk: int = 8,
+                     interpret: bool = False) -> jax.Array:
+    """[n1, n2] cityblock distance matrix via VMEM-tiled accumulation —
+    the building block for hard-negative top-k mining (RDGCN) where XLA's
+    broadcast formulation spills the [n1, n2, d] intermediate to HBM."""
+    n1, d0 = embed1.shape
+    n2 = embed2.shape[0]
+    d = -(-d0 // feat_chunk) * feat_chunk
+    m = -(-n1 // tm) * tm
+    n = -(-n2 // tn) * tn
+    e1 = jnp.zeros((m, d), jnp.float32).at[:n1, :d0].set(embed1)
+    e2 = jnp.zeros((n, d), jnp.float32).at[:n2, :d0].set(embed2)
+    out = pl.pallas_call(
+        functools.partial(_cityblock_mat_kernel, feat_chunk=feat_chunk),
+        grid=(m // tm, n // tn),
+        in_specs=[pl.BlockSpec((d, tm), lambda i, j: (0, i)),
+                  pl.BlockSpec((d, tn), lambda i, j: (0, j))],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        interpret=interpret,
+    )(e1.T, e2.T)
+    return out[:n1, :n2]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("tm", "tn", "feat_chunk", "interpret"))
 def manhattan_rank(embed1: jax.Array, embed2: jax.Array, gold_cols: jax.Array,

@@ -70,7 +70,7 @@ def test_cityblock_topk_matches_naive():
     anchors = rng.randn(37, 9).astype(np.float32)
     table = rng.randn(143, 9).astype(np.float32)
     idx = np.asarray(cityblock_topk(jnp.asarray(anchors), jnp.asarray(table),
-                                    5, row_block=16, col_block=32))
+                                    5, row_block=16))
     D = np.abs(anchors[:, None, :] - table[None, :, :]).sum(-1)
     ref = np.argsort(D, axis=1)[:, :5]
     # compare as sets per row (tie order may differ)
