@@ -30,14 +30,19 @@ Pair = Tuple[int, int]
 
 @partial(jax.jit, static_argnames=("k", "block"))
 def _blocked_topk(e1: jax.Array, e2: jax.Array, k: int, block: int):
-    """Row top-k of e1 @ e2.T without materializing the full matrix."""
+    """Row top-k of e1 @ e2.T without materializing the full matrix.
+    Large k uses approx_max_k on TPU (lax.top_k's lane sort is O(n log n)
+    per row and dominates for k >~ 64)."""
     n1 = e1.shape[0]
     nb = -(-n1 // block)
     pad = nb * block - n1
     e1p = jnp.concatenate([e1, jnp.zeros((pad, e1.shape[1]), e1.dtype)]) if pad else e1
+    approx = k > 64 and jax.devices()[0].platform == "tpu"
 
     def one(rows):
         s = rows @ e2.T
+        if approx:
+            return jax.lax.approx_max_k(s, k, recall_target=0.95)
         return jax.lax.top_k(s, k)
 
     vals, idx = jax.lax.map(one, e1p.reshape(nb, block, e1p.shape[1]))
