@@ -77,8 +77,14 @@ def stable_alignment(embed1, embed2, metric="inner", normalize=False,
     n1, n2 = s.shape
     k1 = min(cut, n2)
     k2 = min(cut, n1)
-    _, top1 = jax.lax.top_k(s, k1)          # suitors' preference lists
-    _, top2 = jax.lax.top_k(s.T, k2)        # reviewers' preference lists
+    if jax.devices()[0].platform == "tpu" and cut > 64:
+        # preference lists tolerate approximate top-k; exact lane sort is
+        # prohibitively slow at k~100 over large candidate sets
+        _, top1 = jax.lax.approx_max_k(s, k1, recall_target=0.95)
+        _, top2 = jax.lax.approx_max_k(s.T, k2, recall_target=0.95)
+    else:
+        _, top1 = jax.lax.top_k(s, k1)      # suitors' preference lists
+        _, top2 = jax.lax.top_k(s.T, k2)    # reviewers' preference lists
     top1 = np.asarray(top1)
     top2 = np.asarray(top2)
 
