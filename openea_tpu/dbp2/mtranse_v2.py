@@ -38,6 +38,19 @@ from openea_tpu.ops.initializers import l2_normalize
 from openea_tpu.ops.optim import get_optimizer
 
 
+def viz_sim_list(sim_list, interval: float = 0.1):
+    """Histogram of similarity values (reference dbp2.0/utils.py:99-110)."""
+    import numpy as np
+    num = int(1 / interval)
+    counts = [0] * num
+    for s in sim_list:
+        b = min(int(float(s) / interval), num - 1)
+        counts[max(b, 0)] += 1
+    for i, c in enumerate(counts):
+        print("[{:.1f}, {:.1f}): {}".format(i * interval, (i + 1) * interval, c))
+    return counts
+
+
 def eval_margin(input_ents, dis_list, true_labels, margin):
     """Margin classifier metrics (reference dbp2.0/eval.py:142-169);
     label 1 = dangling."""

@@ -249,3 +249,19 @@ def test_same_seed_same_results():
                              start_valid=1000, eval_freq=1000, seed=11)
         outs.append(np.asarray(model.params["ent_embeds"]))
     assert np.array_equal(outs[0], outs[1])
+
+
+def test_superstep_with_truncated_tables():
+    """Super-stepped epochs recompile once when neighbor tables appear."""
+    from tests.test_models_e2e import make_kgs, run_model, test_hits1
+    model, _ = run_model("AlignE", "swapping", epochs=20, epochs_per_call=5,
+                         learning_rate=0.05, init="normal", loss="limited",
+                         neg_sampling="truncated", optimizer="Adagrad",
+                         eval_metric="inner", loss_norm="L2",
+                         ent_l2_norm=True, rel_l2_norm=True,
+                         pos_margin=0.01, neg_margin=2.0,
+                         neg_margin_balance=0.2, neg_triple_num=4,
+                         truncated_epsilon=0.9, truncated_freq=10,
+                         start_valid=1000, eval_freq=1000)
+    hits1, mrr = test_hits1(model)
+    assert hits1 > 30.0
