@@ -251,9 +251,9 @@ class AliNet(BasicModel):
         evals = jax.nn.leaky_relu(adj.val * s1[adj.row] + adj.val * s2[adj.col],
                                   negative_slope=0.2)
         soft = segment_softmax(evals, adj.row, adj.n_rows)
-        out = jax.ops.segment_sum(soft[:, None] * mapped[adj.col], adj.row,
-                                  num_segments=adj.n_rows,
-                                  indices_are_sorted=True)
+        from openea_tpu.ops.graph import segmented_weighted_gather_sum
+        out = segmented_weighted_gather_sum(adj.row, adj.col, soft, mapped,
+                                            adj.n_rows)
         return jnp.tanh(out)
 
     def _highway(self, params, i, input1, input2):

@@ -45,11 +45,50 @@ class SparseAdj:
         return spmm(self, x)
 
 
+_EDGE_CHUNK = 1 << 20
+
+
 def spmm(adj: SparseAdj, x: jax.Array) -> jax.Array:
-    """Sparse @ dense via gather + segment_sum (differentiable in x/val)."""
-    gathered = adj.val[:, None] * x[adj.col]
-    return jax.ops.segment_sum(gathered, adj.row, num_segments=adj.n_rows,
-                               indices_are_sorted=True)
+    """Sparse @ dense via gather + segment_sum (differentiable in x/val).
+
+    Beyond ~1M edges the [nnz, d] gather-multiply intermediate would
+    dominate HBM (TF's fused sparse_tensor_dense_matmul never materializes
+    it), so large graphs accumulate over edge chunks with a scan."""
+    nnz = adj.row.shape[0]
+    if nnz <= _EDGE_CHUNK:
+        gathered = adj.val[:, None] * x[adj.col]
+        return jax.ops.segment_sum(gathered, adj.row, num_segments=adj.n_rows,
+                                   indices_are_sorted=True)
+    return segmented_weighted_gather_sum(adj.row, adj.col, adj.val, x,
+                                         adj.n_rows)
+
+
+def segmented_weighted_gather_sum(row: jax.Array, col: jax.Array,
+                                  weight: jax.Array, x: jax.Array,
+                                  n_rows: int,
+                                  chunk: int = _EDGE_CHUNK) -> jax.Array:
+    """out[i] = sum_e weight[e] * x[col[e]] over edges with row[e] == i,
+    accumulated chunk-by-chunk so only [chunk, d] ever materializes."""
+    nnz = row.shape[0]
+    pad = (-nnz) % chunk
+    if pad:
+        # padded edges carry zero weight into row 0
+        row = jnp.concatenate([row, jnp.zeros(pad, row.dtype)])
+        col = jnp.concatenate([col, jnp.zeros(pad, col.dtype)])
+        weight = jnp.concatenate([weight, jnp.zeros(pad, weight.dtype)])
+    nc = (nnz + pad) // chunk
+
+    def step(acc, args):
+        r, c, w = args
+        acc = acc + jax.ops.segment_sum(w[:, None] * x[c], r,
+                                        num_segments=n_rows)
+        return acc, None
+
+    init = jnp.zeros((n_rows, x.shape[1]), x.dtype)
+    out, _ = jax.lax.scan(step, init,
+                          (row.reshape(nc, chunk), col.reshape(nc, chunk),
+                           weight.reshape(nc, chunk)))
+    return out
 
 
 def build_sparse(row: np.ndarray, col: np.ndarray, val: np.ndarray,
