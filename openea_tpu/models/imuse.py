@@ -80,19 +80,8 @@ def _first_value_dict(attr_triples):
     return ea_attrs, eav
 
 
-def align_entity_by_attributes(kgs, aligned_attr_pairs, sim_th: float):
-    """Greedy best-match per KG1 entity by mean value similarity over
-    aligned attributes; candidates restricted to entities sharing at
-    least one aligned attribute."""
-    if not aligned_attr_pairs:
-        return set()
-    ea1, eav1 = _first_value_dict(kgs.kg1.attribute_triples_set)
-    ea2, eav2 = _first_value_dict(kgs.kg2.attribute_triples_set)
-    # candidate index: a2 -> entities of KG2 with that attribute
-    by_attr2: Dict[int, Set[int]] = {}
-    for e2, attrs in ea2.items():
-        for a2 in attrs:
-            by_attr2.setdefault(a2, set()).add(e2)
+def _ea_worker(e1_items, ea2, eav1, eav2, by_attr2, aligned_attr_pairs,
+               sim_th):
     sim_cache: Dict[Tuple[str, str], float] = {}
 
     def vsim(v1, v2):
@@ -101,9 +90,8 @@ def align_entity_by_attributes(kgs, aligned_attr_pairs, sim_th: float):
             sim_cache[key] = _lev_ratio(v1, v2)
         return sim_cache[key]
 
-    aligned = set()
-    used2 = set()
-    for e1, attrs1 in ea1.items():
+    out = []
+    for e1, attrs1 in e1_items:
         cands = set()
         for a1, a2 in aligned_attr_pairs:
             if a1 in attrs1:
@@ -120,9 +108,51 @@ def align_entity_by_attributes(kgs, aligned_attr_pairs, sim_th: float):
                 s /= cnt
             if s > best_sim:
                 best, best_sim = e2, s
-        if best is not None and best not in used2:
-            aligned.add((e1, best))
-            used2.add(best)
+        if best is not None:
+            out.append((e1, best, best_sim))
+    return out
+
+
+def align_entity_by_attributes(kgs, aligned_attr_pairs, sim_th: float,
+                               processes: int = 8):
+    """Greedy best-match per KG1 entity by mean value similarity over
+    aligned attributes; candidates restricted to entities sharing at
+    least one aligned attribute, sharded over a process pool (the
+    reference uses an 8-way pool over the full E1 x E2 sweep,
+    imuse.py:70-100)."""
+    if not aligned_attr_pairs:
+        return set()
+    ea1, eav1 = _first_value_dict(kgs.kg1.attribute_triples_set)
+    ea2, eav2 = _first_value_dict(kgs.kg2.attribute_triples_set)
+    by_attr2: Dict[int, Set[int]] = {}
+    for e2, attrs in ea2.items():
+        for a2 in attrs:
+            by_attr2.setdefault(a2, set()).add(e2)
+
+    items = list(ea1.items())
+    results = []
+    if processes > 1 and len(items) > 2000:
+        import multiprocessing as mp
+        shard = (len(items) + processes - 1) // processes
+        shards = [items[i:i + shard] for i in range(0, len(items), shard)]
+        with mp.Pool(processes=len(shards)) as pool:
+            parts = pool.starmap(
+                _ea_worker,
+                [(sh, ea2, eav1, eav2, by_attr2, aligned_attr_pairs, sim_th)
+                 for sh in shards])
+        for p in parts:
+            results.extend(p)
+    else:
+        results = _ea_worker(items, ea2, eav1, eav2, by_attr2,
+                             aligned_attr_pairs, sim_th)
+
+    # target-side conflict resolution: keep the most similar source
+    aligned = set()
+    used2 = set()
+    for e1, e2, s in sorted(results, key=lambda x: -x[2]):
+        if e2 not in used2:
+            aligned.add((e1, e2))
+            used2.add(e2)
     return aligned
 
 
