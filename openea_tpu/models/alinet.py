@@ -87,30 +87,41 @@ def remove_unlinked_triples(triples, linked_ents):
 def generate_2hop_pairs(triples, linked_ents=None):
     """(head, tail) 2-hop pairs whose relation pattern is NOT among the 5
     most frequent, excluding already-1-hop pairs (reference
-    alinet.py:250-287; the adjacency only needs the endpoints)."""
+    alinet.py:250-287; the adjacency only needs the endpoints).
+
+    Fully vectorized: the reference iterates the multi-million-row pandas
+    merge per row (its 15K init takes minutes); here membership tests,
+    pattern counting, and selection are numpy passes."""
     if linked_ents is not None:
         triples = remove_unlinked_triples(triples, linked_ents)
     if not triples:
         return set()
-    out_d, in_d = out_in_dicts(triples)
-    df = pd.DataFrame(np.asarray([[h, r, t] for h, r, t in triples]),
-                      columns=["h", "r", "t"])
+    arr = np.asarray(list(triples), np.int64)
+    df = pd.DataFrame(arr, columns=["h", "r", "t"])
     two = pd.merge(df, df, left_on="t", right_on="h")
-    quads = set()
-    patterns: Dict[Tuple[int, int], int] = {}
-    for h, tail, rx, ry in zip(two["h_x"].values, two["t_y"].values,
-                               two["r_x"].values, two["r_y"].values):
-        h, tail, rx, ry = int(h), int(tail), int(rx), int(ry)
-        if tail not in out_d.get(h, set()) and h not in in_d.get(tail, set()):
-            patterns[(rx, ry)] = patterns.get((rx, ry), 0) + 1
-            quads.add((h, rx, ry, tail))
-    ranked = sorted(patterns.items(), key=lambda x: -x[1])
-    selected = {p for p, _ in ranked[5:]}
-    pairs = set()
-    for h, rx, ry, tail in quads:
-        if (rx, ry) in selected:
-            pairs.add((h, h))
-            pairs.add((h, tail))
+    hx = two["h_x"].values
+    ty = two["t_y"].values
+    rx = two["r_x"].values
+    ry = two["r_y"].values
+
+    n = int(max(arr[:, 0].max(), arr[:, 2].max())) + 1
+    edge_keys = np.unique(arr[:, 0] * n + arr[:, 2])
+    keep = ~np.isin(hx * n + ty, edge_keys)         # not already 1-hop
+    hx, ty, rx, ry = hx[keep], ty[keep], rx[keep], ry[keep]
+
+    # dedup quadruples before pattern counting (reference counts per
+    # unique (h, rx, ry, t) via its set)
+    r_max = int(arr[:, 1].max()) + 1
+    quad_key = ((hx * n + ty) * r_max + rx) * r_max + ry
+    _, uniq_idx = np.unique(quad_key, return_index=True)
+    hx, ty, rx, ry = hx[uniq_idx], ty[uniq_idx], rx[uniq_idx], ry[uniq_idx]
+
+    pat_key = rx * r_max + ry
+    pats, counts = np.unique(pat_key, return_counts=True)
+    top5 = set(pats[np.argsort(-counts, kind="stable")[:5]].tolist())
+    sel = ~np.isin(pat_key, list(top5))
+    pairs = {(int(h), int(t)) for h, t in zip(hx[sel], ty[sel])}
+    pairs |= {(int(h), int(h)) for h in hx[sel]}
     return pairs
 
 
