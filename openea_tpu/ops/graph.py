@@ -78,6 +78,9 @@ def segmented_weighted_gather_sum(row: jax.Array, col: jax.Array,
         weight = jnp.concatenate([weight, jnp.zeros(pad, weight.dtype)])
     nc = (nnz + pad) // chunk
 
+    # remat the chunk body: without it the scan saves every chunk's
+    # [chunk, d] gather product for backprop, recreating the blow-up
+    @jax.checkpoint
     def step(acc, args):
         r, c, w = args
         acc = acc + jax.ops.segment_sum(w[:, None] * x[c], r,
