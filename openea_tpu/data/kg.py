@@ -316,3 +316,49 @@ def read_kgs_from_files(kg1_rel, kg2_rel, kg1_attr, kg2_attr,
 def _as_id_or_uri(triples):
     # KG accepts uri triples at load time; KGs re-creates it in id space.
     return list(triples)
+
+
+def read_kgs_from_dbp_dwy(folder: str, division: str, mode: str,
+                          ordered: bool, remove_unlinked: bool = False) -> KGs:
+    """DBP15K / DWY100K folder layout: triples_1/2 + sup/ref pair files
+    (reference kgs.py:134-169).  With ``remove_unlinked``, alternately
+    drop triples whose endpoints are unlinked and links whose endpoints
+    have no triples until a fixed point."""
+    j = os.path.join
+    base = j(folder, division)
+    rel1, _, _ = rd.read_relation_triples(j(base, "triples_1"))
+    rel2, _, _ = rd.read_relation_triples(j(base, "triples_2"))
+
+    def links_file(*names):
+        for n in names:
+            p = j(base, n)
+            if os.path.exists(p):
+                return rd.read_links(p)
+        return []
+
+    train_links = links_file("sup_pairs", "sup_ent_ids")
+    test_links = links_file("ref_pairs", "ref_ent_ids")
+
+    if remove_unlinked:
+        rel1, rel2 = set(rel1), set(rel2)
+        while True:
+            links = train_links + test_links
+            rel1 = set(rd.remove_unlinked_triples(rel1, links))
+            rel2 = set(rd.remove_unlinked_triples(rel2, links))
+            ents1 = {e for h, _, t in rel1 for e in (h, t)}
+            ents2 = {e for h, _, t in rel2 for e in (h, t)}
+            new_train = [(a, b) for a, b in train_links
+                         if a in ents1 and b in ents2]
+            new_test = [(a, b) for a, b in test_links
+                        if a in ents1 and b in ents2]
+            n1, n2 = len(rel1), len(rel2)
+            train_links, test_links = new_train, new_test
+            links = train_links + test_links
+            rel1 = set(rd.remove_unlinked_triples(rel1, links))
+            rel2 = set(rd.remove_unlinked_triples(rel2, links))
+            if len(rel1) == n1 and len(rel2) == n2:
+                break
+
+    kg1 = KG(list(rel1), [])
+    kg2 = KG(list(rel2), [])
+    return KGs(kg1, kg2, train_links, test_links, mode=mode, ordered=ordered)

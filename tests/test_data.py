@@ -67,3 +67,19 @@ def test_remove_unlinked_triples():
     triples = {("a", "r", "b"), ("c", "r", "d")}
     out = rd.remove_unlinked_triples(triples, [("a", "x"), ("b", "y")])
     assert out == {("a", "r", "b")}
+
+
+def test_read_kgs_from_dbp_dwy(tmp_path):
+    from openea_tpu.data.kg import read_kgs_from_dbp_dwy
+    base = tmp_path / "0_3"
+    base.mkdir()
+    (base / "triples_1").write_text("a\tr\tb\nb\tr\tc\nx\tr\ty\n")
+    (base / "triples_2").write_text("A\tR\tB\nB\tR\tC\n")
+    (base / "sup_pairs").write_text("a\tA\n")
+    (base / "ref_pairs").write_text("b\tB\nx\tC\n")
+    kgs = read_kgs_from_dbp_dwy(str(tmp_path), "0_3", "mapping", True,
+                                remove_unlinked=True)
+    # (x, y) triple removed (x only linked to C which is in kg2), link
+    # fixed point keeps the a/b pairs
+    assert kgs.kg1.relation_triples_num >= 1
+    assert len(kgs.train_links) == 1
