@@ -233,6 +233,16 @@ PRESETS_15K: Dict[str, Dict[str, Any]] = {
         "rel_l2_norm": True, "eval_metric": "inner", "eval_norm": True,
         "start_valid": 10,
     },
+    "gmnn": {
+        "embedding_module": "GMNN", "alignment_module": "mapping",
+        "batch_size": 20, "dev_batch_size": 20, "cand_size": 100,
+        "word_embedding_dim": 100, "hidden_layer_dim": 100,
+        "aggregator_dim_first": 100, "aggregator_dim_second": 100,
+        "cosine_MP_dim": 10, "sample_size_per_layer": 1,
+        "word_size_max": 1, "learning_rate": 0.01, "max_epoch": 200,
+        "eval_freq": 2, "start_valid": 15, "eval_metric": "manhattan",
+        "eval_norm": False, "dropout": 0.0, "subgraph_size": 12,
+    },
     "bootea_rotate": {
         "embedding_module": "BootEA_RotatE", "alignment_module": "swapping",
         "dim": 100, "init": "normal", "gamma": 12.0, "learning_rate": 0.01,
