@@ -6,10 +6,8 @@ import pytest
 from openea_tpu.presets import get_preset, preset_names
 from openea_tpu.registry import available_models, get_model
 
-# presets whose model classes are not implemented yet
-PENDING = {"GCN_Align", "RDGCN", "AliNet", "IPTransE", "JAPE", "AttrE",
-           "IMUSE", "SEA", "RSN4EA", "KDCoE", "MultiKE", "BootEA_RotatE",
-           "BootEA_TransH"}
+# every reference model is implemented; nothing pending
+PENDING = set()
 
 
 @pytest.mark.parametrize("name", preset_names())
