@@ -265,3 +265,18 @@ def test_superstep_with_truncated_tables():
                          start_valid=1000, eval_freq=1000)
     hits1, mrr = test_hits1(model)
     assert hits1 > 30.0
+
+
+def test_bf16_eval_close_to_f32():
+    from openea_tpu.eval.evaluation import greedy_alignment
+    rng = np.random.RandomState(0)
+    e1 = rng.randn(300, 32).astype(np.float32)
+    e2 = np.concatenate([e1 + 0.05 * rng.randn(300, 32).astype(np.float32),
+                         rng.randn(200, 32).astype(np.float32)])
+    _, h32, _, m32 = greedy_alignment(e1, e2, [1, 5], normalize=True,
+                                      accurate=False)
+    _, h16, _, m16 = greedy_alignment(e1, e2, [1, 5], normalize=True,
+                                      accurate=False,
+                                      compute_dtype="bfloat16")
+    assert abs(h32 - h16) < 3.0
+    assert abs(m32 - m16) < 0.03
