@@ -318,6 +318,10 @@ class GMNN(BasicModel):
         if self._prob_c is None:
             self._prob_c = jax.jit(
                 lambda p, e1, e2: jax.nn.softmax(self._logits(p, e1, e2))[:, 1])
+        # The reference's dev_batch_size (=20) sizes GPU memory; on TPU each
+        # call is a full dispatch and the per-example subgraph state is tiny,
+        # so batch inference up to 2048 (one static shape -> one compile).
+        bsz = int(getattr(self.args, "test_batch_size", 0) or max(bsz, 2048))
         n = len(examples)
         pad = (-n) % bsz
         ex = np.concatenate([examples, examples[:1].repeat(pad, axis=0)]) \
