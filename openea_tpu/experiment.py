@@ -101,6 +101,51 @@ def re_retrieval(run_folder: str, dataset_folder: str, division: str,
                             csls_k=csls)
 
 
+def conicity(e1, e2) -> Dict[str, float]:
+    """Embedding-cone statistics (reference raw_analyse.ent_conicity
+    :533-558): ATM = projection of each embedding onto the unit mean
+    vector; conicity = mean(ATM), vs = var(ATM); reported for KG1, KG2
+    and the combined space.  One device matvec per space — no host loop."""
+    out = {}
+    e1 = jnp.asarray(e1)
+    e2 = jnp.asarray(e2)
+    for name, ents in (("kg1", e1), ("kg2", e2),
+                       ("all", jnp.concatenate([e1, e2], axis=0))):
+        mean = jnp.mean(ents, axis=0)
+        atm = ents @ (mean / jnp.linalg.norm(mean))
+        out[f"conicity_{name}"] = float(jnp.mean(atm))
+        out[f"vs_{name}"] = float(jnp.var(atm))
+    return out
+
+
+def intra_kg_neighbor_stats(e1, e2, k: int = 10) -> Dict[str, float]:
+    """How many of each KG1 entity's top-(k+1) neighbors in the combined
+    KG1+KG2 space are intra-KG (reference raw_analyse
+    comp_quartile_deviation :237-268 / pool_quartile_deviation :223-235,
+    which shards an argsort over a process pool; here one blocked matmul
+    + top_k on device).  Returns the reference's interquartile spread and
+    trimmed mean of the per-entity intra-KG counts — high values mean the
+    two KGs embed into separate cones, a known failure signature."""
+    e1 = jnp.asarray(e1)
+    e2 = jnp.asarray(e2)
+    n1 = e1.shape[0]
+    cand = jnp.concatenate([e1, e2], axis=0)
+    s = sim_matrix(e1, cand, metric="inner", normalize=False)
+    # the reference's top-11 window includes the entity itself (it is its
+    # own nearest neighbor and belongs to KG1, matching their count)
+    _, idx = jax.lax.top_k(s, k + 1)
+    intra = np.asarray(jnp.sum(idx < n1, axis=1))
+    order = np.sort(intra)
+    q = n1 // 4
+    trimmed = order[q:-q] if q else order
+    return {
+        "quartile_deviation": float(order[-q - 1] - order[q]) if q else 0.0,
+        "trimmed_mean_intra": float(trimmed.mean()),
+        "mean_intra": float(intra.mean()),
+        "max_intra": int(intra.max()),
+    }
+
+
 def hubness(e1, e2, k: int = 10) -> Dict[str, float]:
     """How unevenly targets appear among row top-k (reference
     data_analyse/raw_analyse hubness study)."""

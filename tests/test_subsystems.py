@@ -142,6 +142,14 @@ def test_experiment_re_evaluate(tmp_path):
     e1, e2, _ = experiment.test_embeddings(runs[0], str(ds), "721_5fold/1/")
     stats = experiment.hubness(e1, e2, k=5)
     assert stats["max_hub"] >= 5
+    con = experiment.conicity(e1, e2)
+    assert set(con) == {f"{a}_{b}" for a in ("conicity", "vs")
+                        for b in ("kg1", "kg2", "all")}
+    assert all(np.isfinite(v) for v in con.values())
+    intra = experiment.intra_kg_neighbor_stats(e1, e2, k=5)
+    # the entity itself always counts (reference includes self in top-11)
+    assert 1.0 <= intra["mean_intra"] <= 6.0
+    assert intra["quartile_deviation"] >= 0
 
 
 def test_tutorial_labs():
