@@ -82,7 +82,13 @@ def primal_adjacency(triples, ent_num: int):
 
 
 def relation_structures(triples, ent_num: int, rel_num: int):
-    """Head/tail incidence [R, E] + per-triple edge arrays (h, t, r)."""
+    """Head/tail incidence [R, E] + per-triple edge arrays (h, t, r).
+
+    The dense incidence matrices are host-side only (consumed by
+    `dual_jaccard_adjacency`); on device the per-relation head/tail means
+    use the sparse unique-(r, e) pairs from `incidence_pairs` — at 100K
+    the dense [R, E] f32 buffers are 320 MB each and were both blowing
+    the remote-compile request size and wasting MXU time on 0/1 matmuls."""
     head_inc = np.zeros((rel_num, ent_num), np.float32)
     tail_inc = np.zeros((rel_num, ent_num), np.float32)
     edges = np.asarray([[h, t, r] for h, r, t in triples], np.int64)
@@ -94,6 +100,15 @@ def relation_structures(triples, ent_num: int, rel_num: int):
     return head_inc, tail_inc, (edges[:, 0].astype(np.int32),
                                 edges[:, 1].astype(np.int32),
                                 edges[:, 2].astype(np.int32))
+
+
+def incidence_pairs(inc: np.ndarray):
+    """(rel_ids, ent_ids, counts[R,1]) of the nonzeros of a [R, E]
+    incidence matrix, rel-sorted for segment_sum."""
+    rel, ent = np.nonzero(inc)
+    counts = np.maximum(inc.sum(axis=1, keepdims=True), 1.0)
+    return (rel.astype(np.int32), ent.astype(np.int32),
+            counts.astype(np.float32))
 
 
 def dual_jaccard_adjacency(head_inc: np.ndarray, tail_inc: np.ndarray
@@ -131,8 +146,12 @@ class RDGCN(BasicModel):
         self._m_col = jnp.asarray(col)
         self._m_val = jnp.asarray(val)
         head_inc, tail_inc, (er, ec, ev) = relation_structures(triples, E, R)
-        self._head_inc = jnp.asarray(head_inc)
-        self._tail_inc = jnp.asarray(tail_inc)
+        hr, he, hc = incidence_pairs(head_inc)
+        tr, te, tc = incidence_pairs(tail_inc)
+        self._R = R
+        self._hr_rel, self._hr_ent = jnp.asarray(hr), jnp.asarray(he)
+        self._tr_rel, self._tr_ent = jnp.asarray(tr), jnp.asarray(te)
+        self._h_cnt, self._t_cnt = jnp.asarray(hc), jnp.asarray(tc)
         self._e_row = jnp.asarray(er)    # per-triple edges, sorted by head
         self._e_col = jnp.asarray(ec)
         self._e_rel = jnp.asarray(ev)
@@ -179,12 +198,14 @@ class RDGCN(BasicModel):
                                    indices_are_sorted=True)
 
     def _compute_r(self, x):
-        h_sum = self._head_inc @ x
-        t_sum = self._tail_inc @ x
-        h_cnt = jnp.sum(self._head_inc, axis=1, keepdims=True)
-        t_cnt = jnp.sum(self._tail_inc, axis=1, keepdims=True)
-        L = h_sum / jnp.maximum(h_cnt, 1e-12)
-        Rm = t_sum / jnp.maximum(t_cnt, 1e-12)
+        h_sum = jax.ops.segment_sum(x[self._hr_ent], self._hr_rel,
+                                    num_segments=self._R,
+                                    indices_are_sorted=True)
+        t_sum = jax.ops.segment_sum(x[self._tr_ent], self._tr_rel,
+                                    num_segments=self._R,
+                                    indices_are_sorted=True)
+        L = h_sum / self._h_cnt
+        Rm = t_sum / self._t_cnt
         return jnp.concatenate([L, Rm], axis=-1)
 
     @staticmethod
