@@ -34,7 +34,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-import pandas as pd
 import scipy.special
 
 from openea_tpu.data import read as rd
@@ -84,7 +83,8 @@ def remove_unlinked_triples(triples, linked_ents):
             if h in linked_ents and t in linked_ents]
 
 
-def generate_2hop_pairs(triples, linked_ents=None):
+def generate_2hop_pairs(triples, linked_ents=None,
+                        max_pairs: int = 0, seed: int = 0):
     """(head, tail) 2-hop pairs whose relation pattern is NOT among the 5
     most frequent, excluding already-1-hop pairs (reference
     alinet.py:250-287; the adjacency only needs the endpoints).
@@ -95,34 +95,65 @@ def generate_2hop_pairs(triples, linked_ents=None):
     if linked_ents is not None:
         triples = remove_unlinked_triples(triples, linked_ents)
     if not triples:
-        return set()
+        return np.zeros((0, 2), np.int64)
     arr = np.asarray(list(triples), np.int64)
-    df = pd.DataFrame(arr, columns=["h", "r", "t"])
-    two = pd.merge(df, df, left_on="t", right_on="h")
-    hx = two["h_x"].values
-    ty = two["t_y"].values
-    rx = two["r_x"].values
-    ry = two["r_y"].values
-
+    # numpy equi-join on mid = t_left = h_right (the reference's pandas
+    # self-merge materializes the same rows with ~4x the memory).  Every
+    # pass over the joined rows is memory-bandwidth-bound at 10^8 rows,
+    # so: pack (hx, ty, rx, ry) into one int64 with power-of-2 fields
+    # (decode = shift/mask, not divmod), repeat VALUES instead of indices
+    # (one gather saved), and use searchsorted for membership (np.isin
+    # re-sorts the 10^8-element side).
     n = int(max(arr[:, 0].max(), arr[:, 2].max())) + 1
-    edge_keys = np.unique(arr[:, 0] * n + arr[:, 2])
-    keep = ~np.isin(hx * n + ty, edge_keys)         # not already 1-hop
-    hx, ty, rx, ry = hx[keep], ty[keep], rx[keep], ry[keep]
-
-    # dedup quadruples before pattern counting (reference counts per
-    # unique (h, rx, ry, t) via its set)
     r_max = int(arr[:, 1].max()) + 1
-    quad_key = ((hx * n + ty) * r_max + rx) * r_max + ry
-    _, uniq_idx = np.unique(quad_key, return_index=True)
-    hx, ty, rx, ry = hx[uniq_idx], ty[uniq_idx], rx[uniq_idx], ry[uniq_idx]
+    eb = max(int(np.ceil(np.log2(n))), 1)       # entity field bits
+    rb = max(int(np.ceil(np.log2(r_max))), 1)   # relation field bits
+    assert 2 * eb + 2 * rb <= 63
+    left = arr[np.argsort(arr[:, 2], kind="stable")]
+    right = arr[np.argsort(arr[:, 0], kind="stable")]
+    # quad = hx<<(eb+2rb) | ty<<2rb | rx<<rb | ry; left/right-only parts
+    a_key = (left[:, 0] << (eb + 2 * rb)) | (left[:, 1] << rb)
+    b_key = (right[:, 2] << (2 * rb)) | right[:, 1]
+    starts = np.searchsorted(right[:, 0], left[:, 2], side="left")
+    stops = np.searchsorted(right[:, 0], left[:, 2], side="right")
+    fan = stops - starts
+    offsets = np.cumsum(fan) - fan
+    total = int(fan.sum())
+    quad_key = np.repeat(a_key, fan)
+    ri = np.arange(total, dtype=np.int64)
+    ri += np.repeat(starts - offsets, fan)
+    quad_key |= b_key[ri]
+    del ri
+    if max_pairs and total > 4 * max_pairs:
+        # cap active and the raw join is far larger: stride-subsample
+        # the joined rows before the O(total log total) dedup passes
+        quad_key = np.ascontiguousarray(
+            quad_key[:: max(total // (4 * max_pairs), 1)])
 
-    pat_key = rx * r_max + ry
+    uq = np.unique(quad_key)                # dedup (h, rx, ry, t)
+    pair_key = uq >> (2 * rb)               # hx<<eb | ty
+    pat_key = uq & ((1 << (2 * rb)) - 1)    # rx<<rb | ry
+    edge_keys = np.unique((arr[:, 0] << eb) | arr[:, 2])
+    pos = np.searchsorted(edge_keys, pair_key)
+    pos[pos == len(edge_keys)] = 0
+    keep = edge_keys[pos] != pair_key       # not already 1-hop
+    pair_key, pat_key = pair_key[keep], pat_key[keep]
+
     pats, counts = np.unique(pat_key, return_counts=True)
-    top5 = set(pats[np.argsort(-counts, kind="stable")[:5]].tolist())
-    sel = ~np.isin(pat_key, list(top5))
-    pairs = {(int(h), int(t)) for h, t in zip(hx[sel], ty[sel])}
-    pairs |= {(int(h), int(h)) for h in hx[sel]}
-    return pairs
+    top5 = np.sort(pats[np.argsort(-counts, kind="stable")[:5]])
+    if len(top5):
+        pos = np.searchsorted(top5, pat_key)
+        pos[pos == len(top5)] = 0
+        pair_key = pair_key[top5[pos] != pat_key]
+    hx = pair_key >> eb
+    keys = np.unique(np.concatenate([pair_key, (hx << eb) | hx]))
+    if max_pairs and len(keys) > max_pairs:
+        # graphs whose relation patterns are near-uniform defeat the
+        # reference's top-5-pattern pruning (real KGs concentrate there);
+        # subsample so the 2-hop adjacency stays trainable
+        keys = np.sort(np.random.RandomState(seed).choice(
+            keys, max_pairs, replace=False))
+    return np.stack([keys >> eb, keys & ((1 << eb) - 1)], axis=1)
 
 
 def rel_ht_table(triples, cap: int = 1024, seed: int = 0):
@@ -193,10 +224,14 @@ class AliNet(BasicModel):
         # capacity for augmented rebuilds: 2x the initial edge count
         self._nnz_cap = 2 * (2 * len(one_hop) + n)
         self.adj1 = undirected_normalized_adj(n, one_hop, pad_to=self._nnz_cap)
-        two_pairs = (generate_2hop_pairs(tri1, self.linked_ents)
-                     | generate_2hop_pairs(tri2, self.linked_ents))
+        cap2 = int(getattr(a, "two_hop_max_pairs", 0) or 0)
+        two_pairs = np.concatenate([
+            generate_2hop_pairs(tri1, self.linked_ents, cap2, a.seed),
+            generate_2hop_pairs(tri2, self.linked_ents, cap2, a.seed + 1)])
         self.adj2 = undirected_normalized_adj(
-            n, [(h, 0, t) for h, t in two_pairs])
+            n, np.stack([two_pairs[:, 0],
+                         np.zeros(len(two_pairs), np.int64),
+                         two_pairs[:, 1]], axis=1))
 
         ht, lens, n_rel = rel_ht_table(one_hop, seed=a.seed)
         self._rel_ht = jnp.asarray(ht)
@@ -288,9 +323,8 @@ class AliNet(BasicModel):
         rel_ht, rel_lens = self._rel_ht, self._rel_lens
         n_rel = self._n_rel_win
         opt = self.opt
-        adj2 = self.adj2
 
-        def step(params, opt_state, adj1, pos, neg, key):
+        def step(params, opt_state, adj1, adj2, pos, neg, key):
             def loss_fn(p):
                 outputs = self._forward(p, adj1, adj2)
                 emb = self._concat_embeds(p, outputs)
@@ -454,7 +488,7 @@ class AliNet(BasicModel):
                 pos, neg = self._sample_batches(a.batch_size)
                 self.key, k = jax.random.split(self.key)
                 self.params, self.opt_state, loss = step_fn(
-                    self.params, self.opt_state, self.adj1,
+                    self.params, self.opt_state, self.adj1, self.adj2,
                     jnp.asarray(pos), jnp.asarray(neg), k)
                 epoch_loss += float(loss)
             print("epoch {}, loss: {:.4f}, cost time: {:.4f}s"

@@ -180,13 +180,14 @@ def undirected_normalized_adj(num_ents: int,
 
     ``pad_to``: pad nnz with zero-weight (0, 0) entries to a fixed size so
     jitted consumers keep a stable shape across adjacency rebuilds."""
-    edges = set()
-    for h, _, t in triples:
-        edges.add((h, t))
-        edges.add((t, h))
-    if edges:
-        arr = np.asarray(sorted(edges), np.int64)
-        row, col = arr[:, 0].astype(np.int32), arr[:, 1].astype(np.int32)
+    tri = (np.asarray(triples, np.int64) if len(triples)
+           else np.zeros((0, 3), np.int64))
+    if len(tri):
+        h, t = tri[:, 0], tri[:, 2]
+        keys = np.unique(np.concatenate([h * num_ents + t,
+                                         t * num_ents + h]))
+        row = (keys // num_ents).astype(np.int32)
+        col = (keys % num_ents).astype(np.int32)
     else:
         row = col = np.zeros(0, np.int32)
     val = np.ones(len(row), np.float32)
