@@ -5,8 +5,8 @@ Three objectives:
 1. margin TransE over both KGs' triples;
 2. path compositionality: for mined 2-hop paths (rx, ry -> r), margin loss
    on ||rx + ry - r||^2 weighted by 1/path_weight, scaled by path_parm
-   (reference :173-181); paths are mined once on host with a pandas
-   self-merge keeping paths with weight = size_x*size_y < 101 (:95-115);
+   (reference :173-181); paths are mined once on host with a numpy
+   sorted-join keeping paths with weight = size_x*size_y < 101 (:95-115);
 3. every `bp_freq` epochs, soft alignment: greedy sim>th row-top-1 pairs
    over ref entities -> swapped triples weighted by their similarity ->
    weighted margin loss with uniform 50/50 head-or-tail corruption
@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-import pandas as pd
 
 from openea_tpu.eval.evaluation import early_stop
 from openea_tpu.models.base import BasicModel
@@ -41,23 +40,60 @@ from openea_tpu.ops.sampling import corrupt_batch
 
 def generate_2steps_path(triples) -> List[Tuple[int, int, int, float]]:
     """Mine 2-hop relation paths (rx, ry, r, weight) with the reference's
-    exact pandas join semantics (iptranse.py:95-115)."""
+    exact pandas join semantics (iptranse.py:95-115): weight =
+    |(h,rx)-group| * |(m,ry)-group|, keep weight < 101, then close the
+    triangle against direct (h, t) edges (all matching relations).
+
+    Numpy sorted-join instead of two pandas merges: since weight < 101
+    and group sizes are >= 1, only edges whose (h, r) group size is
+    <= 100 can ever appear, so hub groups are pruned BEFORE the join —
+    the reference materializes the full self-merge first, which blows up
+    on high-degree graphs."""
     if len(triples) == 0:
         return []
-    tr = np.asarray([[t[0], t[2], t[1]] for t in triples])
-    tr = pd.DataFrame(tr, columns=["h", "t", "r"])
-    sizes = tr.groupby(["h", "r"]).size()
-    sizes.name = "size"
-    tr = tr.join(sizes, on=["h", "r"])
-    raw = tr[["h", "r", "t", "size"]]
-    two = pd.merge(raw, raw, left_on="t", right_on="h")
-    two["_path_weight"] = two.size_x * two.size_y
-    two = two[two["_path_weight"] < 101]
-    two = pd.merge(two, raw, left_on=["h_x", "t_y"], right_on=["h", "t"],
-                   sort=False)
-    mat = two[["r_x", "r_y", "r", "_path_weight"]].values
-    print("num of path:", mat.shape[0])
-    return [(int(m[0]), int(m[1]), int(m[2]), float(m[3])) for m in mat]
+    arr = np.asarray([[h, r, t] for h, r, t in triples], np.int64)
+    n = int(max(arr[:, 0].max(), arr[:, 2].max())) + 1
+    eb = max(int(np.ceil(np.log2(n))), 1)
+    hr_key = (arr[:, 0] << 32) | arr[:, 1]
+    _, inv, cnt = np.unique(hr_key, return_inverse=True, return_counts=True)
+    size = cnt[inv]
+    keep = size <= 100
+    e, s = arr[keep], size[keep]
+
+    lo = np.argsort(e[:, 2], kind="stable")
+    left, ls = e[lo], s[lo]
+    ro = np.argsort(e[:, 0], kind="stable")
+    right, rs = e[ro], s[ro]
+    starts = np.searchsorted(right[:, 0], left[:, 2], side="left")
+    stops = np.searchsorted(right[:, 0], left[:, 2], side="right")
+    fan = stops - starts
+    offsets = np.cumsum(fan) - fan
+    total = int(fan.sum())
+    li = np.repeat(np.arange(len(left)), fan)
+    ri = np.arange(total, dtype=np.int64) + np.repeat(starts - offsets, fan)
+    w = ls[li] * rs[ri]
+    keepw = w < 101
+    li, ri, w = li[keepw], ri[keepw], w[keepw]
+
+    # close the triangle: expand every direct (h_x, t_y) relation
+    pk = (left[li, 0] << eb) | right[ri, 2]
+    dorder = np.argsort((arr[:, 0] << eb) | arr[:, 2], kind="stable")
+    dkey = ((arr[:, 0] << eb) | arr[:, 2])[dorder]
+    drel = arr[dorder, 1]
+    s2 = np.searchsorted(dkey, pk, side="left")
+    e2 = np.searchsorted(dkey, pk, side="right")
+    fan2 = e2 - s2
+    off2 = np.cumsum(fan2) - fan2
+    li2 = np.repeat(np.arange(len(pk)), fan2)
+    di = np.arange(int(fan2.sum()), dtype=np.int64) + np.repeat(s2 - off2,
+                                                                fan2)
+    rx = left[li[li2], 1]
+    ry = right[ri[li2], 1]
+    r = drel[di]
+    wgt = w[li2].astype(np.float64)
+    print("num of path:", len(rx))
+    return [(int(a), int(b), int(c), float(d))
+            for a, b, c, d in zip(rx, ry, r, wgt)]
 
 
 class IPTransE(BasicModel):

@@ -28,6 +28,31 @@ def test_iptranse_2step_paths():
     assert (0, 1, 2, 1.0) in paths
 
 
+def test_iptranse_2step_paths_pandas_parity():
+    """The numpy sorted-join reproduces the reference's pandas-merge
+    semantics exactly (multiset of (rx, ry, r, weight))."""
+    import pandas as pd
+    from openea_tpu.models.iptranse import generate_2steps_path
+    rng = np.random.RandomState(0)
+    triples = list({(int(h), int(r), int(t)) for h, r, t in
+                    zip(rng.randint(0, 60, 800), rng.randint(0, 8, 800),
+                        rng.randint(0, 60, 800))})
+    tr = np.asarray([[x[0], x[2], x[1]] for x in triples])
+    tr = pd.DataFrame(tr, columns=["h", "t", "r"])
+    sizes = tr.groupby(["h", "r"]).size()
+    sizes.name = "size"
+    tr = tr.join(sizes, on=["h", "r"])
+    raw = tr[["h", "r", "t", "size"]]
+    two = pd.merge(raw, raw, left_on="t", right_on="h")
+    two["_w"] = two.size_x * two.size_y
+    two = two[two["_w"] < 101]
+    two = pd.merge(two, raw, left_on=["h_x", "t_y"], right_on=["h", "t"],
+                   sort=False)
+    ref = sorted((int(a), int(b), int(c), float(d)) for a, b, c, d
+                 in two[["r_x", "r_y", "r", "_w"]].values)
+    assert sorted(generate_2steps_path(triples)) == ref
+
+
 def test_iptranse_e2e_learns():
     model, kgs = run_model(
         "IPTransE", "sharing", epochs=60, learning_rate=0.05,
