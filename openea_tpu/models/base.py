@@ -565,7 +565,7 @@ class BasicModel:
         re-evaluate (reference basic_model.py:140-182)."""
         parent = os.path.dirname(self.out_folder.rstrip("/"))
         runs = sorted(os.listdir(parent))
-        folder = os.path.join(parent, runs[0])
+        folder = os.path.join(parent, runs[-1])
         embeds = np.load(os.path.join(folder, "ent_embeds.npy"))
         e1 = embeds[self.kgs.test_entities1]
         e2 = embeds[self.kgs.test_entities2]
@@ -622,17 +622,23 @@ class BasicModel:
         matched = set()
         s_np = np.asarray(s)
         if top_k:
-            _, idx_r = jax.lax.top_k(s, min(top_k, s.shape[1]))
-            _, idx_c = jax.lax.top_k(s.T, min(top_k, s.shape[0]))
+            # vectorized union of row-wise and column-wise top-k pairs; the
+            # previous per-row Python loop cost minutes at 100K scale
+            kr = min(top_k, s.shape[1])
+            kc = min(top_k, s.shape[0])
+            _, idx_r = jax.lax.top_k(s, kr)
+            _, idx_c = jax.lax.top_k(s.T, kc)
             idx_r, idx_c = np.asarray(idx_r), np.asarray(idx_c)
-            for i in range(s_np.shape[0]):
-                for j in idx_r[i]:
-                    matched.add((i, int(j)))
-            for j in range(s_np.shape[1]):
-                for i in idx_c[j]:
-                    matched.add((int(i), j))
+            ri = np.repeat(np.arange(s_np.shape[0]), kr)
+            rj = idx_r.reshape(-1)
+            ci = idx_c.reshape(-1)
+            cj = np.repeat(np.arange(s_np.shape[1]), kc)
+            ii = np.concatenate([ri, ci])
+            jj = np.concatenate([rj, cj])
             if min_sim_value:
-                matched = {(i, j) for i, j in matched if s_np[i, j] > min_sim_value}
+                keep = s_np[ii, jj] > min_sim_value
+                ii, jj = ii[keep], jj[keep]
+            matched = set(zip(ii.tolist(), jj.tolist()))
         elif min_sim_value:
             rows, cols = np.nonzero(s_np > min_sim_value)
             matched = set(zip(rows.tolist(), cols.tolist()))

@@ -99,13 +99,18 @@ def compile_sharded_step(mesh: Mesh, step, params, opt_state):
 
 
 def _opt_state_shardings(mesh, opt_state, params, p_shard):
-    shapes = {id(v): k for k, v in params.items()}
+    """Optimizer accumulators mirror the params dict structure inside the
+    optax state pytree, so match leaves to their parameter by PATH (the
+    dict key on the leaf's path), never by shape — two same-shape tables
+    must not alias each other's sharding."""
 
-    def spec(leaf):
-        # match accumulator leaves to their parameter's sharding by shape
-        for name, p in params.items():
-            if hasattr(leaf, "shape") and leaf.shape == p.shape and leaf.ndim == 2:
-                return p_shard[name]
+    def spec(path, leaf):
+        for entry in reversed(path):
+            name = getattr(entry, "key", None)
+            if name in p_shard:
+                if hasattr(leaf, "shape") and leaf.shape == params[name].shape:
+                    return p_shard[name]
+                break
         return replicated(mesh)
 
-    return jax.tree.map(spec, opt_state)
+    return jax.tree_util.tree_map_with_path(spec, opt_state)

@@ -40,10 +40,12 @@ def parse_log(path: str) -> Dict:
             mt = _TOTAL.search(line)
             if mt:
                 out["total_time"] = float(mt.group(1))
-            for val in _TIME.findall(line):
-                for v in val:
-                    if v:
-                        out["summed_time"] += float(v)
+                continue  # the total line must not inflate the phase sum
+            # one phase timing per line: a line like "cost time: 1.2s" can
+            # match several _TIME alternatives; take only the first match
+            m = _TIME.search(line)
+            if m:
+                out["summed_time"] += float(next(g for g in m.groups() if g))
     return out
 
 

@@ -45,6 +45,33 @@ def test_sharded_step_runs_and_matches_single_device():
     np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-4)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_opt_state_shardings_match_by_path_not_shape():
+    """Two same-shape tables with different shardings must each get their
+    OWN accumulator sharding (regression: shape-based matching aliased)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from openea_tpu.ops.optim import get_optimizer
+    from openea_tpu.parallel.train_step import _opt_state_shardings
+
+    mesh = make_mesh(8)
+    params = {"a": jnp.zeros((16, 8)), "b": jnp.zeros((16, 8))}
+    p_shard = {"a": NamedSharding(mesh, P("model", None)),
+               "b": NamedSharding(mesh, P(None, "model"))}
+    opt = get_optimizer("Adagrad", 0.01)
+    opt_state = opt.init(params)
+    o_shard = _opt_state_shardings(mesh, opt_state, params, p_shard)
+    leaves = jax.tree_util.tree_leaves_with_path(
+        o_shard, is_leaf=lambda x: isinstance(x, NamedSharding))
+    by_name = {}
+    for path, sh in leaves:
+        for entry in reversed(path):
+            k = getattr(entry, "key", None)
+            if k in p_shard:
+                by_name[k] = sh
+    assert by_name["a"].spec == P("model", None)
+    assert by_name["b"].spec == P(None, "model")
+
+
 def test_graft_entry_compiles():
     import importlib.util, os
     spec = importlib.util.spec_from_file_location(

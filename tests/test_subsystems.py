@@ -75,6 +75,9 @@ def test_log_statistics_parse_and_csv(tmp_path):
     assert rec["plain"]["hits"][0] == 50.5
     assert rec["csls"]["mrr"] == 0.7
     assert rec["total_time"] == 100.5
+    # per-phase sum: 1.25 + 2.0 + 1.5; the Total line and double pattern
+    # matches must NOT inflate it (reference run_time.py semantics)
+    assert abs(rec["summed_time"] - 4.75) < 1e-9
     out = str(tmp_path / "summary.csv")
     rows = logs_to_csv([str(log)], out, variant="csls")
     assert rows[0]["hits@1"] == 60.0
