@@ -234,8 +234,9 @@ class AliNet(BasicModel):
                          two_pairs[:, 1]], axis=1))
 
         ht, lens, n_rel = rel_ht_table(one_hop, seed=a.seed)
-        self._rel_ht = jnp.asarray(ht)
-        self._rel_lens = jnp.asarray(np.maximum(lens, 1))
+        # host numpy: closure constants of the jitted step (fast lowering)
+        self._rel_ht = np.asarray(ht)
+        self._rel_lens = np.maximum(lens, 1)
         self._n_rel_win = n_rel
         self.rel_win_size = max(a.batch_size // max(n_rel, 1), 1)
         if self.rel_win_size <= 1:

@@ -105,8 +105,10 @@ class AttrE(BasicModel):
          self.char_list_size) = formatting_attr_triples(
             self.kgs, self.args.literal_len)
         super().init()
-        self._value_chars = jnp.asarray(char_rows)
-        self._ngram_w = jnp.asarray(ngram_weights(self.args.literal_len))
+        # host numpy: closure constants of the jitted epochs embed from
+        # host memory at lowering (device arrays cost a tunnel round trip)
+        self._value_chars = np.asarray(char_rows)
+        self._ngram_w = np.asarray(ngram_weights(self.args.literal_len))
         self.ce_opt = get_optimizer(self.args.optimizer, self.args.learning_rate)
         self.ce_opt_state = self.ce_opt.init(self.params)
         self.joint_opt = get_optimizer(self.args.optimizer, self.args.learning_rate)
@@ -157,8 +159,8 @@ class AttrE(BasicModel):
         chars = params["char_embeds"]
         if self.args.char_l2_norm:
             chars = l2_normalize(chars)
-        vecs = chars[self._value_chars[value_ids]]          # [B, L, d]
-        return jnp.einsum("bld,l->bd", vecs, self._ngram_w)
+        vecs = chars[jnp.asarray(self._value_chars)[value_ids]]  # [B, L, d]
+        return jnp.einsum("bld,l->bd", vecs, jnp.asarray(self._ngram_w))
 
     def _attr_lookup(self, params, triples):
         ce = params["ent_embeds_ce"]
@@ -176,6 +178,8 @@ class AttrE(BasicModel):
         opt = self.ce_opt
 
         def epoch(params, opt_state, key, t1, w1, t2, w2):
+            # numpy closure constants -> jnp inside the trace (host embed)
+            ents1_c, ents2_c = jnp.asarray(ents1), jnp.asarray(ents2)
             k1, k2, kscan = jax.random.split(key, 3)
             p1 = jax.random.permutation(k1, t1.shape[0])
             p2 = jax.random.permutation(k2, t2.shape[0])
@@ -189,10 +193,10 @@ class AttrE(BasicModel):
                 sk1, sk2 = jax.random.split(sk)
                 # attribute negatives corrupt the head entity only
                 # (reference batch.py:188-200)
-                nh1 = ents1[jax.random.randint(sk1, (pos1.shape[0],), 0,
-                                               ents1.shape[0])]
-                nh2 = ents2[jax.random.randint(sk2, (pos2.shape[0],), 0,
-                                               ents2.shape[0])]
+                nh1 = ents1_c[jax.random.randint(sk1, (pos1.shape[0],), 0,
+                                                 ents1_c.shape[0])]
+                nh2 = ents2_c[jax.random.randint(sk2, (pos2.shape[0],), 0,
+                                                 ents2_c.shape[0])]
                 neg1 = pos1.at[:, 0].set(nh1)
                 neg2 = pos2.at[:, 0].set(nh2)
                 pos = jnp.concatenate([pos1, pos2], axis=0)

@@ -201,9 +201,14 @@ class BasicModel:
         # as arrays (shuffle moves real rows anywhere)
         self._w1 = jnp.asarray(w1)
         self._w2 = jnp.asarray(w2)
-        self._ents1 = jnp.asarray(kg1.entities)
-        self._ents2 = jnp.asarray(kg2.entities)
-        self._links = jnp.asarray(self.kgs.train_links_array)
+        # Keep closure constants as HOST numpy arrays: a device-resident
+        # array closed over by a traced fn is fetched back to host during
+        # MLIR lowering (mlir.ir_constant -> Array._value), and on the
+        # remote-tunnel TPU backend that synchronous device->host read can
+        # cost minutes.  numpy constants embed instantly.
+        self._ents1 = np.asarray(kg1.entities, np.int32)
+        self._ents2 = np.asarray(kg2.entities, np.int32)
+        self._links = np.asarray(self.kgs.train_links_array, np.int32)
         self._neigh1: Optional[NeighborTable] = None
         self._neigh2: Optional[NeighborTable] = None
 
@@ -218,6 +223,10 @@ class BasicModel:
         opt = self.opt
 
         def epoch(params, opt_state, key, t1, w1, t2, w2, neigh1, neigh2):
+            # numpy closure constants -> jnp INSIDE the trace: embeds them
+            # from host memory (no tunnel round trip at lowering time)
+            ents1_c = jnp.asarray(ents1)
+            ents2_c = jnp.asarray(ents2)
             k1, k2, kscan = jax.random.split(key, 3)
             p1 = jax.random.permutation(k1, t1.shape[0])
             p2 = jax.random.permutation(k2, t2.shape[0])
@@ -229,8 +238,8 @@ class BasicModel:
                 params, opt_state = carry
                 pos1, w1b, pos2, w2b, sk = xs
                 sk1, sk2, sk3 = jax.random.split(sk, 3)
-                neg1 = corrupt_batch(sk1, pos1, num_neg, ents1, neigh1)
-                neg2 = corrupt_batch(sk2, pos2, num_neg, ents2, neigh2)
+                neg1 = corrupt_batch(sk1, pos1, num_neg, ents1_c, neigh1)
+                neg2 = corrupt_batch(sk2, pos2, num_neg, ents2_c, neigh2)
                 pos = jnp.concatenate([pos1, pos2], axis=0)
                 pos_w = jnp.concatenate([w1b, w2b], axis=0)
                 neg = jnp.concatenate([neg1, neg2], axis=0)
@@ -265,6 +274,7 @@ class BasicModel:
         opt = self.mapping_opt
 
         def epoch(params, opt_state, key):
+            links_c = jnp.asarray(links)
             kperm, kscan = jax.random.split(key)
             perm = jax.random.permutation(kperm, n_links)
             rows = steps * per_step
@@ -273,7 +283,7 @@ class BasicModel:
 
             def step(carry, batch_idx):
                 params, opt_state = carry
-                batch = links[batch_idx]
+                batch = links_c[batch_idx]
 
                 def loss_fn(p):
                     return self._mapping_loss(p, batch, None)

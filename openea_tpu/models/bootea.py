@@ -46,8 +46,10 @@ class BootEA(AlignE):
         super().init()
         self.ref_ent1 = self.kgs.valid_entities1 + self.kgs.test_entities1
         self.ref_ent2 = self.kgs.valid_entities2 + self.kgs.test_entities2
-        self._ref1 = jnp.asarray(self.ref_ent1, jnp.int32)
-        self._ref2 = jnp.asarray(self.ref_ent2, jnp.int32)
+        # host numpy: closed over by jitted fns; numpy embeds at lowering
+        # without a device round trip (slow over the TPU tunnel)
+        self._ref1 = np.asarray(self.ref_ent1, np.int32)
+        self._ref2 = np.asarray(self.ref_ent2, np.int32)
         self.align_opt = get_optimizer(self.args.optimizer, self.args.learning_rate)
         self.align_opt_state = self.align_opt.init(self.params)
         self._align_epoch_cache = {}

@@ -79,12 +79,12 @@ class GCN_Align(BasicModel):
         self.e = e
         triples = (self.kgs.kg1.relation_triples_list
                    + self.kgs.kg2.relation_triples_list)
-        self.adj = normalized_weighted_adj(e, triples)
+        self.adj = normalized_weighted_adj(e, triples, host=True)
 
         ar, ac, av, a_num = load_attr_matrix(e, self.kgs)
         self.a_num = a_num
         self.attr_sp: Optional[SparseAdj] = (
-            build_sparse(ar, ac, av, e) if a_num > 0 else None)
+            build_sparse(ar, ac, av, e, host=True) if a_num > 0 else None)
 
         self.key, k1, k2 = jax.random.split(self.key, 3)
         se_dim = a.get("se_dim", a.dim)
@@ -102,7 +102,7 @@ class GCN_Align(BasicModel):
 
         self.opt = optax.sgd(a.learning_rate)
         self.opt_state = self.opt.init(self.params)
-        self._train_links = jnp.asarray(self.kgs.train_links_array)
+        self._train_links = np.asarray(self.kgs.train_links_array, np.int32)
         self._step_fn = self._make_step_fn()
 
     # ------------------------------------------------------------------ #

@@ -86,8 +86,10 @@ class GMNN(BasicModel):
                 tok_mat[e, j] = vocab[tk]
             tok_len[e] = max(1, len(toks))
         self.vocab = vocab
-        self._tok_mat = jnp.asarray(tok_mat)
-        self._tok_len = jnp.asarray(tok_len)
+        # host numpy: closure constants of jitted fns embed from host
+        # memory at lowering (device arrays cost a tunnel round trip)
+        self._tok_mat = tok_mat
+        self._tok_len = tok_len
 
         # pretrained word vectors (hashed fallback)
         wd = int(a.word_embedding_dim)
@@ -126,9 +128,9 @@ class GMNN(BasicModel):
                 bws = [pos[h] for h in bw.get(n, []) if h in pos][:S]
                 fw_pos[e, i, :len(fws)] = fws
                 bw_pos[e, i, :len(bws)] = bws
-        self._sub_nodes = jnp.asarray(nodes)
-        self._sub_fw = jnp.asarray(fw_pos)
-        self._sub_bw = jnp.asarray(bw_pos)
+        self._sub_nodes = nodes
+        self._sub_fw = fw_pos
+        self._sub_bw = bw_pos
 
         # parameters
         d = int(a.hidden_layer_dim)
@@ -201,8 +203,8 @@ class GMNN(BasicModel):
 
     def _node_reps(self, p, ent_ids):
         """ent_ids [B, N] -> node reps [B, N, d] via LSTM over name tokens."""
-        toks = self._tok_mat[ent_ids]               # [B, N, W]
-        lens = self._tok_len[ent_ids]               # [B, N]
+        toks = jnp.asarray(self._tok_mat)[ent_ids]  # [B, N, W]
+        lens = jnp.asarray(self._tok_len)[ent_ids]  # [B, N]
         x = p["word_em"][toks]                      # [B, N, W, wd]
         B, N, W, wd = x.shape
         x = x.reshape(B * N, W, wd)
@@ -246,11 +248,11 @@ class GMNN(BasicModel):
         return jax.nn.relu(out)
 
     def _encode(self, p, ents):
-        nodes = self._sub_nodes[ents]               # [B, N]
+        nodes = jnp.asarray(self._sub_nodes)[ents]  # [B, N]
         mask = (nodes < self.E).astype(jnp.float32)
         reps = self._node_reps(p, nodes)
-        fw = self._gated_agg(p, "agg", reps, self._sub_fw[ents])
-        bw = self._gated_agg(p, "agg", reps, self._sub_bw[ents])
+        fw = self._gated_agg(p, "agg", reps, jnp.asarray(self._sub_fw)[ents])
+        bw = self._gated_agg(p, "agg", reps, jnp.asarray(self._sub_bw)[ents])
         out = 0.5 * (fw + bw)
         return out * mask[..., None], mask
 
@@ -277,8 +279,8 @@ class GMNN(BasicModel):
         rep2, m2 = self._encode(p, e2)
         g2_aware = self._match(p, rep1, m1, rep2, m2)
         g1_aware = self._match(p, rep2, m2, rep1, m1)
-        h1 = self._gated_agg(p, "agg2", g2_aware, self._sub_fw[e1])
-        h2 = self._gated_agg(p, "agg2", g1_aware, self._sub_fw[e2])
+        h1 = self._gated_agg(p, "agg2", g2_aware, jnp.asarray(self._sub_fw)[e1])
+        h2 = self._gated_agg(p, "agg2", g1_aware, jnp.asarray(self._sub_fw)[e2])
         h1 = h1 * m1[..., None]
         h2 = h2 * m2[..., None]
 

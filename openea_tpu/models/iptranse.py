@@ -118,14 +118,15 @@ class IPTransE(BasicModel):
         self.ref_entities2 = self.kgs.valid_entities2 + self.kgs.test_entities2
         paths1 = generate_2steps_path(self.kgs.kg1.relation_triples_list)
         paths2 = generate_2steps_path(self.kgs.kg2.relation_triples_list)
-        self._paths = jnp.asarray(
-            np.asarray([p[:3] for p in paths1 + paths2], np.int32).reshape(-1, 3))
-        self._path_w = jnp.asarray(
-            np.asarray([p[3] for p in paths1 + paths2], np.float32))
-        self._rels1 = jnp.asarray(self.kgs.kg1.relations)
-        self._rels2 = jnp.asarray(self.kgs.kg2.relations)
-        self._all_rels = jnp.concatenate([self._rels1, self._rels2])
-        self._all_ents = jnp.concatenate([self._ents1, self._ents2])
+        # host numpy (closure constants embed from host memory at lowering;
+        # a device array here costs a tunnel round trip per traced fn)
+        self._paths = np.asarray([p[:3] for p in paths1 + paths2],
+                                 np.int32).reshape(-1, 3)
+        self._path_w = np.asarray([p[3] for p in paths1 + paths2], np.float32)
+        self._rels1 = np.asarray(self.kgs.kg1.relations, np.int32)
+        self._rels2 = np.asarray(self.kgs.kg2.relations, np.int32)
+        self._all_rels = np.concatenate([self._rels1, self._rels2])
+        self._all_ents = np.concatenate([self._ents1, self._ents2])
         self.align_opt = get_optimizer(self.args.optimizer, self.args.learning_rate)
         self.align_opt_state = self.align_opt.init(self.params)
         self._align_epoch_cache = {}
@@ -151,6 +152,10 @@ class IPTransE(BasicModel):
         opt = self.opt
 
         def epoch(params, opt_state, key, t1, w1, t2, w2, neigh1, neigh2):
+            # numpy closure constants -> jnp inside the trace (host embed)
+            paths_c = jnp.asarray(paths)
+            path_w_c = jnp.asarray(path_w)
+            all_rels_c = jnp.asarray(all_rels)
             k1, k2, kp, kscan = jax.random.split(key, 4)
             p1 = jax.random.permutation(k1, t1.shape[0])
             p2 = jax.random.permutation(k2, t2.shape[0])
@@ -173,10 +178,10 @@ class IPTransE(BasicModel):
                 pos = jnp.concatenate([pos1, pos2], axis=0)
                 neg = jnp.concatenate([neg1, neg2], axis=0)
                 w = jnp.concatenate([w1b, w2b], axis=0)
-                ppath = paths[pb]
-                pw = path_w[pb]
-                neg_r = all_rels[jax.random.randint(
-                    sk3, (ppath.shape[0],), 0, all_rels.shape[0])]
+                ppath = paths_c[pb]
+                pw = path_w_c[pb]
+                neg_r = all_rels_c[jax.random.randint(
+                    sk3, (ppath.shape[0],), 0, all_rels_c.shape[0])]
 
                 def loss_fn(p):
                     phs, prs, pts = self._lookup(p, pos)

@@ -86,7 +86,7 @@ class JAPE(BasicModel):
               .format(time.time() - t))
 
     def _make_sim_step(self):
-        ref2 = jnp.asarray(self.ref_entities2, jnp.int32)
+        ref2_np = np.asarray(self.ref_entities2, np.int32)
         beta = float(self.args.attr_sim_mat_beta)
         opt = self.sim_opt
 
@@ -96,7 +96,8 @@ class JAPE(BasicModel):
                 if self.args.ent_l2_norm:
                     ent = l2_normalize(ent)
                 e1 = ent[rows]
-                e2 = ent[ref2]
+                # numpy closure constant -> jnp inside the trace (host embed)
+                e2 = ent[jnp.asarray(ref2_np)]
                 trans = l2_normalize(sim_rows @ e2)
                 return beta * jnp.sum(jnp.square(e1 - trans))
 

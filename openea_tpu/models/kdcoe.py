@@ -140,8 +140,10 @@ class KDCoE(BasicModel):
         word_em, e_desc = descriptions_input(
             self.kgs, a.get("word_embed"), self.wv_dim, self.desc_len,
             training_data=str(a.training_data))
-        self._word_em = jnp.asarray(word_em)
-        self._e_desc = jnp.asarray(e_desc)
+        # host numpy: closure constants of the jitted desc steps embed from
+        # host memory at lowering (device arrays cost a tunnel round trip)
+        self._word_em = np.asarray(word_em)
+        self._e_desc = np.asarray(e_desc)
         self.key, *ks = jax.random.split(self.key, 8)
         wv = self.wv_dim
         self.desc_params = {
@@ -160,6 +162,7 @@ class KDCoE(BasicModel):
         self._desc_step_c = None
         self._desc_bsz = None
         self._encode_c = None
+        self._new_map_step = None
 
     # ------------------------------------------------------------------ #
     # description encoder
@@ -184,7 +187,9 @@ class KDCoE(BasicModel):
     def _encode_entities(self, ents) -> jax.Array:
         if self._encode_c is None:
             self._encode_c = jax.jit(
-                lambda dp, ids: self._encode_desc(dp, self._word_em[self._e_desc[ids]]))
+                lambda dp, ids: self._encode_desc(
+                    dp, jnp.asarray(self._word_em)[
+                        jnp.asarray(self._e_desc)[ids]]))
         return self._encode_c(self.desc_params, jnp.asarray(ents, jnp.int32))
 
     def _make_desc_step(self, bsz: int):
@@ -196,8 +201,10 @@ class KDCoE(BasicModel):
 
         def step(dp, opt_state, ids1, ids2):
             def loss_fn(p):
-                d1 = self._encode_desc(p, self._word_em[self._e_desc[ids1]])
-                d2 = self._encode_desc(p, self._word_em[self._e_desc[ids2]])
+                word_em_c = jnp.asarray(self._word_em)
+                e_desc_c = jnp.asarray(self._e_desc)
+                d1 = self._encode_desc(p, word_em_c[e_desc_c[ids1]])
+                d2 = self._encode_desc(p, word_em_c[e_desc_c[ids2]])
                 sim = (d1 @ d2.T) * indicator
                 return -jnp.sum(jax.nn.log_sigmoid(sim)) / bsz
 
@@ -237,27 +244,38 @@ class KDCoE(BasicModel):
         if not self.new_alignment:
             return
         t = time.time()
-        pairs = jnp.asarray(np.asarray(list(self.new_alignment), np.int32))
-        opt = self.new_map_opt
-        new_param = float(self.args.new_param)
+        raw = np.asarray(list(self.new_alignment), np.int32)
+        # pad to the next power of two and mask: one jit signature for all
+        # epochs regardless of how many new pairs were proposed
+        rows = 1 << max(0, int(np.ceil(np.log2(max(1, raw.shape[0])))))
+        pairs_np = np.zeros((rows, 2), np.int32)
+        pairs_np[:raw.shape[0]] = raw
+        w_np = (np.arange(rows) < raw.shape[0]).astype(np.float32)
 
-        @jax.jit
-        def step(params, opt_state):
-            def loss_fn(p):
-                ent = p["ent_embeds"]
-                if self.args.ent_l2_norm:
-                    ent = l2_normalize(ent)
-                e1, e2 = ent[pairs[:, 0]], ent[pairs[:, 1]]
-                return new_param * L.mapping_loss(e1, e2, p["mapping_mat"])
+        if getattr(self, "_new_map_step", None) is None:
+            opt = self.new_map_opt
+            new_param = float(self.args.new_param)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+            def step(params, opt_state, pairs, w):
+                def loss_fn(p):
+                    ent = p["ent_embeds"]
+                    if self.args.ent_l2_norm:
+                        ent = l2_normalize(ent)
+                    e1, e2 = ent[pairs[:, 0]], ent[pairs[:, 1]]
+                    return new_param * L.mapping_loss(e1, e2,
+                                                      p["mapping_mat"], w)
 
-        self.params, self.new_map_opt_state, loss = step(
-            self.params, self.new_map_opt_state)
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+            self._new_map_step = jax.jit(step, donate_argnums=(0, 1))
+
+        pairs = jnp.asarray(pairs_np)
+        self.params, self.new_map_opt_state, loss = self._new_map_step(
+            self.params, self.new_map_opt_state, pairs, jnp.asarray(w_np))
         print("epoch {}, avg. new mapping loss: {:.4f}, cost time: {:.4f}s"
-              .format(epoch, float(loss) / max(1, pairs.shape[0]),
+              .format(epoch, float(loss) / max(1, raw.shape[0]),
                       time.time() - t))
 
     # ------------------------------------------------------------------ #

@@ -135,8 +135,10 @@ class MultiKE(BasicModel):
             "dense_w": xavier_init(ks[10], (2 * d * 2, d)),
             "dense_b": jnp.zeros((d,)),
         }
-        self._name_embeds = jnp.asarray(self.local_name_vectors)
-        self._literal_embeds = jnp.asarray(self.value_vectors)
+        # host numpy: closure constants of the jitted view losses (numpy
+        # embeds at lowering without a device round trip over the tunnel)
+        self._name_embeds = np.asarray(self.local_name_vectors, np.float32)
+        self._literal_embeds = np.asarray(self.value_vectors, np.float32)
         self._norm_keys = {"rv_ent_embeds", "rel_embeds", "av_ent_embeds",
                            "ent_embeds"}
         self._opts: Dict[str, Tuple] = {}
@@ -150,14 +152,13 @@ class MultiKE(BasicModel):
             opt = get_optimizer(a.optimizer, lr)
             self._opts[name] = (opt, opt.init(self.params))
         self._fns = {}
-        self._ents1 = jnp.asarray(self.kgs.kg1.entities)
-        self._ents2 = jnp.asarray(self.kgs.kg2.entities)
+        self._ents1 = np.asarray(self.kgs.kg1.entities, np.int32)
+        self._ents2 = np.asarray(self.kgs.kg2.entities, np.int32)
         # per-entity KG membership for in-loss negative sampling (the
         # reference corrupts within the positive's own KG)
-        import numpy as _np
-        memb = _np.zeros(max(1, self.kgs.max_entities_id), _np.int8)
-        memb[_np.asarray(self.kgs.kg2.entities)] = 1
-        self._memb = jnp.asarray(memb)
+        memb = np.zeros(max(1, self.kgs.max_entities_id), np.int8)
+        memb[np.asarray(self.kgs.kg2.entities)] = 1
+        self._memb = memb
 
     def _t(self, params, name):
         tab = params[name]
@@ -251,12 +252,15 @@ class MultiKE(BasicModel):
         num_neg = max(1, int(self.args.neg_triple_num))
         coin = jax.random.bernoulli(k1, 0.5, (batch.shape[0], 1))
         coin = jnp.broadcast_to(coin, (batch.shape[0], num_neg))
-        # corrupt within the positive's own KG (membership-selected)
-        c1 = self._ents1[jax.random.randint(
-            k2, (batch.shape[0], num_neg), 0, self._ents1.shape[0])]
-        c2 = self._ents2[jax.random.randint(
-            k3, (batch.shape[0], num_neg), 0, self._ents2.shape[0])]
-        cand = jnp.where(self._memb[batch[:, 0:1]] == 0, c1, c2)
+        # corrupt within the positive's own KG (membership-selected);
+        # jnp.asarray: numpy closure constants embed from host at trace time
+        ents1_c, ents2_c = jnp.asarray(self._ents1), jnp.asarray(self._ents2)
+        memb_c = jnp.asarray(self._memb)
+        c1 = ents1_c[jax.random.randint(
+            k2, (batch.shape[0], num_neg), 0, ents1_c.shape[0])]
+        c2 = ents2_c[jax.random.randint(
+            k3, (batch.shape[0], num_neg), 0, ents2_c.shape[0])]
+        cand = jnp.where(memb_c[batch[:, 0:1]] == 0, c1, c2)
         nh = jnp.where(coin, cand, batch[:, 0:1]).reshape(-1)
         nt = jnp.where(coin, batch[:, 2:3], cand).reshape(-1)
         nr = jnp.repeat(batch[:, 1], num_neg)
@@ -269,8 +273,9 @@ class MultiKE(BasicModel):
                 + jnp.sum(jax.nn.softplus(-e(nhs, nrs, nts))
                           * jnp.repeat(wb, num_neg)))
         f_phs, f_pts = fin[batch[:, 0]], fin[batch[:, 2]]
-        n_phs = self._name_embeds[batch[:, 0]]
-        n_pts = self._name_embeds[batch[:, 2]]
+        name_c = jnp.asarray(self._name_embeds)  # host constant, traced-safe
+        n_phs = name_c[batch[:, 0]]
+        n_pts = name_c[batch[:, 2]]
         loss = loss + jnp.sum(e(f_phs, prs, pts) * wb)
         loss = loss + jnp.sum(e(phs, prs, f_pts) * wb)
         loss = loss + 0.5 * jnp.sum(jnp.square(f_phs - n_phs) * wb[:, None])
@@ -285,14 +290,14 @@ class MultiKE(BasicModel):
         attr = p["attr_embeds"]
         hs = av[batch[:, 0]]
         as_ = attr[batch[:, 1]]
-        vs = self._literal_embeds[batch[:, 2]]
+        vs = jnp.asarray(self._literal_embeds)[batch[:, 2]]
         w = batch[:, 3].astype(jnp.float32) * 1e-3 * wb
         score = self._conv_score(p, hs, as_, vs)
         loss = jnp.sum(jax.nn.softplus(-score) * w)
         f_hs = fin[batch[:, 0]]
         score2 = self._conv_score(p, f_hs, as_, vs)
         loss = loss + jnp.sum(jax.nn.softplus(-score2) * wb)
-        n_hs = self._name_embeds[batch[:, 0]]
+        n_hs = jnp.asarray(self._name_embeds)[batch[:, 0]]
         loss = loss + 0.5 * jnp.sum(jnp.square(f_hs - n_hs) * wb[:, None])
         return loss
 
@@ -307,7 +312,7 @@ class MultiKE(BasicModel):
         av = self._t(p, "av_ent_embeds")
         score = self._conv_score(p, av[batch[:, 0]],
                                  p["attr_embeds"][batch[:, 1]],
-                                 self._literal_embeds[batch[:, 2]])
+                                 jnp.asarray(self._literal_embeds)[batch[:, 2]])
         return 2.0 * jnp.sum(jax.nn.softplus(-score) * wb)
 
     def _ckgp_rel_loss(self, p, batch, wb, key):
@@ -322,14 +327,14 @@ class MultiKE(BasicModel):
         av = self._t(p, "av_ent_embeds")
         score = self._conv_score(p, av[batch[:, 0]],
                                  p["attr_embeds"][batch[:, 1]],
-                                 self._literal_embeds[batch[:, 2]])
+                                 jnp.asarray(self._literal_embeds)[batch[:, 2]])
         w = batch[:, 3].astype(jnp.float32) * 1e-3 * wb
         return jnp.sum(jax.nn.softplus(-score) * w)
 
     def _cross_name_loss(self, p, batch, wb, key):
         ids = batch[:, 0]
         fin = self._t(p, "ent_embeds")[ids]
-        nv = self._name_embeds[ids]
+        nv = jnp.asarray(self._name_embeds)[ids]
         rv = self._t(p, "rv_ent_embeds")[ids]
         av = self._t(p, "av_ent_embeds")[ids]
         loss = (jnp.sum(jnp.square(fin - nv) * wb[:, None])
@@ -350,7 +355,7 @@ class MultiKE(BasicModel):
             orth_l = jnp.sum(jnp.square(mapping @ mapping.T - eye))
             return map_l + ow * orth_l + 1e-4 * norm_l
 
-        return (space_map(self._name_embeds[ids], p["nv_mapping"])
+        return (space_map(jnp.asarray(self._name_embeds)[ids], p["nv_mapping"])
                 + space_map(self._t(p, "rv_ent_embeds")[ids], p["rv_mapping"])
                 + space_map(self._t(p, "av_ent_embeds")[ids], p["av_mapping"]))
 
@@ -376,7 +381,6 @@ class MultiKE(BasicModel):
         ent_rows = np.asarray(
             sorted(self.kgs.kg1.entities_set | self.kgs.kg2.entities_set),
             np.int32)[:, None]
-        self._all_ents_cat = jnp.asarray(ent_rows[:, 0])
         sup_rel = np.asarray(
             [list(x) for x in (self.kgs.kg1.sup_relation_triples_set
                                | self.kgs.kg2.sup_relation_triples_set)],

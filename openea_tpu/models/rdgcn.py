@@ -141,21 +141,25 @@ class RDGCN(BasicModel):
         triples = (self.kgs.kg1.relation_triples_list
                    + self.kgs.kg2.relation_triples_list)
 
+        # all graph structures stay as HOST numpy: they are closure
+        # constants of the jitted step, and numpy embeds into the lowered
+        # module from host memory (a device array would trigger a blocking
+        # device->host read over the TPU tunnel per lowered function)
         row, col, val = primal_adjacency(triples, E)
-        self._m_row = jnp.asarray(row)
-        self._m_col = jnp.asarray(col)
-        self._m_val = jnp.asarray(val)
+        self._m_row = np.asarray(row)
+        self._m_col = np.asarray(col)
+        self._m_val = np.asarray(val)
         head_inc, tail_inc, (er, ec, ev) = relation_structures(triples, E, R)
         hr, he, hc = incidence_pairs(head_inc)
         tr, te, tc = incidence_pairs(tail_inc)
         self._R = R
-        self._hr_rel, self._hr_ent = jnp.asarray(hr), jnp.asarray(he)
-        self._tr_rel, self._tr_ent = jnp.asarray(tr), jnp.asarray(te)
-        self._h_cnt, self._t_cnt = jnp.asarray(hc), jnp.asarray(tc)
-        self._e_row = jnp.asarray(er)    # per-triple edges, sorted by head
-        self._e_col = jnp.asarray(ec)
-        self._e_rel = jnp.asarray(ev)
-        self._dual_A = jnp.asarray(dual_jaccard_adjacency(head_inc, tail_inc))
+        self._hr_rel, self._hr_ent = np.asarray(hr), np.asarray(he)
+        self._tr_rel, self._tr_ent = np.asarray(tr), np.asarray(te)
+        self._h_cnt, self._t_cnt = np.asarray(hc), np.asarray(tc)
+        self._e_row = np.asarray(er)    # per-triple edges, sorted by head
+        self._e_col = np.asarray(ec)
+        self._e_rel = np.asarray(ev)
+        self._dual_A = np.asarray(dual_jaccard_adjacency(head_inc, tail_inc))
 
         d = int(a.dim)
         if a.get("use_attributes", True):
@@ -185,7 +189,7 @@ class RDGCN(BasicModel):
         self.params = p
         self.opt = optax.adam(a.learning_rate)
         self.opt_state = self.opt.init(self.params)
-        self._links = jnp.asarray(self.kgs.train_links_array)
+        self._links = np.asarray(self.kgs.train_links_array, np.int32)
         self._step = None
 
     # ------------------------------------------------------------------ #

@@ -329,14 +329,16 @@ class RSN4EA(BasicModel):
     # -- training ------------------------------------------------------- #
 
     def _make_epoch_fn(self, num_batch: int, bsz: int):
-        data = jnp.asarray(self._train_data)
+        data = np.asarray(self._train_data)
         n = data.shape[0]
         opt = self.opt
 
         def epoch(params, opt_state, key):
+            # numpy closure constant -> jnp inside the trace (host embed)
+            data_c = jnp.asarray(data)
             kc, kscan = jax.random.split(key)
             choices = jax.random.randint(kc, (num_batch * bsz,), 0, n)
-            batches = data[choices].reshape(num_batch, bsz, -1)
+            batches = data_c[choices].reshape(num_batch, bsz, -1)
             keys = jax.random.split(kscan, num_batch)
 
             def step(carry, xs):

@@ -51,7 +51,7 @@ class SEA(BasicModel):
     def _prepare_training_arrays(self):
         super()._prepare_training_arrays()
         unlabeled = self.kgs.test_links + self.kgs.valid_links
-        self._unlabeled = jnp.asarray(np.asarray(unlabeled, np.int32))
+        self._unlabeled = np.asarray(unlabeled, np.int32)
 
     def _make_mapping_epoch_fn(self):
         steps = self._steps
@@ -66,6 +66,9 @@ class SEA(BasicModel):
         opt = self.mapping_opt
 
         def epoch(params, opt_state, key):
+            # numpy closure constants -> jnp inside the trace (host embed)
+            links_c = jnp.asarray(links)
+            unlabeled_c = jnp.asarray(unlabeled)
             kl, ku = jax.random.split(key)
             pl = jax.random.permutation(kl, nl)
             pu = jax.random.permutation(ku, nu)
@@ -81,8 +84,8 @@ class SEA(BasicModel):
                     if self.args.ent_l2_norm:
                         ent = l2_normalize(ent)
                     m1, m2 = p["mapping_mat_1"], p["mapping_mat_2"]
-                    lab = links[bl]
-                    unl = unlabeled[bu]
+                    lab = links_c[bl]
+                    unl = unlabeled_c[bu]
                     le1, le2 = ent[lab[:, 0]], ent[lab[:, 1]]
                     ue1, ue2 = ent[unl[:, 0]], ent[unl[:, 1]]
                     # reference tf.nn.l2_normalize default axis=None ->

@@ -95,8 +95,18 @@ def segmented_weighted_gather_sum(row: jax.Array, col: jax.Array,
 
 
 def build_sparse(row: np.ndarray, col: np.ndarray, val: np.ndarray,
-                 n_rows: int) -> SparseAdj:
+                 n_rows: int, host: bool = False) -> SparseAdj:
+    """Row-sorted COO.  ``host=True`` keeps the arrays as numpy: use it
+    when the SparseAdj is a CLOSURE constant of a jitted fn — numpy embeds
+    into the lowered module from host memory, while a device array costs a
+    blocking device->host read over the TPU tunnel at lowering time.  Use
+    the default (device) when the adjacency is passed as a jit ARGUMENT
+    (e.g. AliNet's rebuilt adj2), so it is not re-uploaded every call."""
     order = np.argsort(row, kind="stable")
+    if host:
+        return SparseAdj(np.ascontiguousarray(row[order], np.int32),
+                         np.ascontiguousarray(col[order], np.int32),
+                         np.ascontiguousarray(val[order], np.float32), n_rows)
     return SparseAdj(jnp.asarray(row[order], jnp.int32),
                      jnp.asarray(col[order], jnp.int32),
                      jnp.asarray(val[order], jnp.float32), n_rows)
@@ -164,12 +174,13 @@ def sym_normalize_with_self_loops(row: np.ndarray, col: np.ndarray,
 
 def normalized_weighted_adj(num_ents: int,
                             triples: Sequence[Tuple[int, int, int]],
-                            floor: float = 0.3) -> SparseAdj:
+                            floor: float = 0.3,
+                            host: bool = False) -> SparseAdj:
     """One-call builder: functionality weights -> +I -> sym-normalize ->
-    row-sorted device COO."""
+    row-sorted COO (see build_sparse for the host flag)."""
     row, col, val = weighted_adjacency(num_ents, triples, floor)
     row, col, val = sym_normalize_with_self_loops(row, col, val, num_ents)
-    return build_sparse(row, col, val, num_ents)
+    return build_sparse(row, col, val, num_ents, host=host)
 
 
 def undirected_normalized_adj(num_ents: int,

@@ -38,6 +38,10 @@ def corrupt_batch(key: jax.Array, pos: jax.Array, num_neg: int,
     """pos [B,3] i32 -> neg [B*num_neg, 3] i32 (neg slots contiguous per
     positive, same layout as reference batches)."""
     b = pos.shape[0]
+    # callers may pass host numpy entity lists (closure constants are kept
+    # on host so MLIR lowering never round-trips to the device); convert at
+    # trace time so tracer-indexing below works
+    entities = jnp.asarray(entities)
     k_coin, k_h, k_t = jax.random.split(key, 3)
     # one coin per POSITIVE: all of a positive's negatives corrupt the
     # same side, matching generate_neg_triples_fast (batch.py:89-106)
