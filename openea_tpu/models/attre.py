@@ -279,6 +279,23 @@ class AttrE(BasicModel):
               .format(epoch, float(loss) / max(n, 1), time.time() - start))
 
     def run(self):
+        # wo_attr ablation: train only the relational TransE part
+        # (reference approaches_without_attribute/attre.py:248-249
+        # comments out CE and joint training)
+        if not self.args.get("use_attributes", True):
+            t = time.time()
+            for i in range(1, self.args.max_epoch + 1):
+                self.launch_triple_training_1epo(i)
+                if (i >= self.args.start_valid
+                        and i % self.args.eval_freq == 0):
+                    flag = self.valid(self.args.stop_metric)
+                    self.flag1, self.flag2, self.early_stop = early_stop(
+                        self.flag1, self.flag2, flag)
+                    if self.early_stop or i == self.args.max_epoch:
+                        break
+            print("Training ends. Total time = {:.3f} s."
+                  .format(time.time() - t))
+            return
         t = time.time()
         for i in range(1, self.args.max_epoch + 1):
             self.launch_triple_training_1epo(i)

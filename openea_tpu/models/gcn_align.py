@@ -81,7 +81,14 @@ class GCN_Align(BasicModel):
                    + self.kgs.kg2.relation_triples_list)
         self.adj = normalized_weighted_adj(e, triples, host=True)
 
-        ar, ac, av, a_num = load_attr_matrix(e, self.kgs)
+        # wo_attr ablation: SE branch only, no attribute incidence / AE
+        # model (reference approaches_without_attribute/gcn_align.py:764-770
+        # drops the AE loss from training)
+        if self.args.get("use_attributes", True):
+            ar, ac, av, a_num = load_attr_matrix(e, self.kgs)
+        else:
+            ar = ac = av = np.zeros((0,), np.int32)
+            a_num = 0
         self.a_num = a_num
         self.attr_sp: Optional[SparseAdj] = (
             build_sparse(ar, ac, av, e, host=True) if a_num > 0 else None)

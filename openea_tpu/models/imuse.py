@@ -223,7 +223,13 @@ class IMUSE(BasicModel):
         assert a.learning_rate >= 0.01
 
     def init(self):
-        self.aligned_ent_pair_set = interactive_model(self.kgs, self.args)
+        # wo_attr ablation: no interactive attribute matching and hence no
+        # align-loss pairs (reference approaches_without_attribute/
+        # imuse.py:258,339 comments both out)
+        if self.args.get("use_attributes", True):
+            self.aligned_ent_pair_set = interactive_model(self.kgs, self.args)
+        else:
+            self.aligned_ent_pair_set = set()
         super().init()
         self.align_opt = get_optimizer(self.args.optimizer, self.args.learning_rate)
         self.align_opt_state = self.align_opt.init(self.params)

@@ -131,12 +131,18 @@ class JAPE(BasicModel):
               .format(epoch, loss, time.time() - t))
 
     def run(self):
-        self.run_attr2vec()
+        # wo_attr ablation: skip Attr2Vec and the attribute-similarity
+        # regularizer (reference expriment/approaches_without_attribute/
+        # jape.py:153,163 comments both calls out)
+        use_attrs = self.args.get("use_attributes", True)
+        if use_attrs:
+            self.run_attr2vec()
         print("Joint training:")
         t = time.time()
         for i in range(1, self.args.max_epoch + 1):
             self.launch_triple_training_1epo(i)
-            self.launch_sim_1epo(i)
+            if use_attrs:
+                self.launch_sim_1epo(i)
             if i >= self.args.start_valid and i % self.args.eval_freq == 0:
                 flag = self.valid(self.args.stop_metric)
                 self.flag1, self.flag2, self.early_stop = early_stop(

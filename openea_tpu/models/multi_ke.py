@@ -56,6 +56,17 @@ class MultiKE(BasicModel):
 
     def _prepare_literals(self):
         a = self.args
+        if not a.get("use_attributes", True):
+            # wo_attr ablation: no literal encoding, no name/value vectors
+            # (reference approaches_without_attribute/multi_ke.py:322-326
+            # comments out all literal/name/attribute vector generation)
+            d = int(a.dim)
+            self.entity_local_name = {}
+            self.literal_list = []
+            self.local_name_vectors = np.zeros(
+                (self.kgs.max_entities_id, d), np.float32)
+            self.value_vectors = np.zeros((1, d), np.float32)
+            return
         name_triples = get_local_name_triples(self.kgs, str(a.training_data))
         self.entity_local_name = {e: n for e, _, n in name_triples}
 
@@ -161,6 +172,11 @@ class MultiKE(BasicModel):
         self._memb = memb
 
     def _t(self, params, name):
+        # wo_attr ablation: the final view IS the relation view (the
+        # reference aliases the ent_embeds variable to rv_ent_embeds,
+        # approaches_without_attribute/multi_ke.py:481)
+        if name == "ent_embeds" and not self.args.get("use_attributes", True):
+            name = "rv_ent_embeds"
         tab = params[name]
         return l2_normalize(tab) if name in self._norm_keys else tab
 
@@ -273,13 +289,16 @@ class MultiKE(BasicModel):
                 + jnp.sum(jax.nn.softplus(-e(nhs, nrs, nts))
                           * jnp.repeat(wb, num_neg)))
         f_phs, f_pts = fin[batch[:, 0]], fin[batch[:, 2]]
-        name_c = jnp.asarray(self._name_embeds)  # host constant, traced-safe
-        n_phs = name_c[batch[:, 0]]
-        n_pts = name_c[batch[:, 2]]
         loss = loss + jnp.sum(e(f_phs, prs, pts) * wb)
         loss = loss + jnp.sum(e(phs, prs, f_pts) * wb)
-        loss = loss + 0.5 * jnp.sum(jnp.square(f_phs - n_phs) * wb[:, None])
-        loss = loss + 0.5 * jnp.sum(jnp.square(f_pts - n_pts) * wb[:, None])
+        if self.args.get("use_attributes", True):
+            # name-view alignment terms (dropped in the wo_attr ablation,
+            # reference approaches_without_attribute/multi_ke.py:513-518)
+            name_c = jnp.asarray(self._name_embeds)  # host const, trace-safe
+            n_phs = name_c[batch[:, 0]]
+            n_pts = name_c[batch[:, 2]]
+            loss = loss + 0.5 * jnp.sum(jnp.square(f_phs - n_phs) * wb[:, None])
+            loss = loss + 0.5 * jnp.sum(jnp.square(f_pts - n_pts) * wb[:, None])
         return loss
 
     def _attr_view_loss(self, p, batch, wb, key):
@@ -385,43 +404,58 @@ class MultiKE(BasicModel):
             [list(x) for x in (self.kgs.kg1.sup_relation_triples_set
                                | self.kgs.kg2.sup_relation_triples_set)],
             np.int32).reshape(-1, 3)
-        sup_attr = np.asarray(
-            [list(x) for x in (self.kgs.kg1.sup_attribute_triples_set
-                               | self.kgs.kg2.sup_attribute_triples_set)],
-            np.int32).reshape(-1, 3)
-
-        self._valid_view("nv")
+        # wo_attr ablation: relation view only — no name/attribute views,
+        # no cross-name or common-space epochs, no attribute predicate
+        # alignment (reference approaches_without_attribute/multi_ke.py:
+        # 856-891 comments those phases out of the train loop).  Attribute
+        # values are only re-keyed to literal ids when attributes are on,
+        # so sup_attr is built under the flag too.
+        use_attrs = a.get("use_attributes", True)
+        if use_attrs:
+            sup_attr = np.asarray(
+                [list(x) for x in (self.kgs.kg1.sup_attribute_triples_set
+                                   | self.kgs.kg2.sup_attribute_triples_set)],
+                np.int32).reshape(-1, 3)
+        if use_attrs:
+            self._valid_view("nv")
         for i in range(1, a.max_epoch + 1):
             print("epoch {}:".format(i))
-            attr_rows = self._w1000(pa.attribute_triples_w_weights1
-                                    + pa.attribute_triples_w_weights2)
             ckgp_rows = self._w1000(pa.sup_relation_alignment_triples1
                                     + pa.sup_relation_alignment_triples2)
-            ckga_rows = self._w1000(pa.sup_attribute_alignment_triples1
-                                    + pa.sup_attribute_alignment_triples2)
             self._run_epoch("rel", self._rel_view_loss, rel_rows,
                             int(a.batch_size), label=f"{i} rel view")
-            self._run_epoch("cross_name", self._cross_name_loss, ent_rows,
-                            int(a.entity_batch_size), label=f"{i} cross-name")
+            if use_attrs:
+                self._run_epoch("cross_name", self._cross_name_loss, ent_rows,
+                                int(a.entity_batch_size),
+                                label=f"{i} cross-name")
             self._run_epoch("ckge_rel", self._ckge_rel_loss, sup_rel,
                             int(a.batch_size), label=f"{i} ckge rel")
             if i > a.start_predicate_soft_alignment:
                 self._run_epoch("ckgp_rel", self._ckgp_rel_loss, ckgp_rows,
                                 int(a.batch_size), label=f"{i} ckgp rel")
-            self._run_epoch("attr", self._attr_view_loss, attr_rows,
-                            int(a.attribute_batch_size), label=f"{i} attr view")
-            self._run_epoch("cross_name", self._cross_name_loss, ent_rows,
-                            int(a.entity_batch_size), label=f"{i} cross-name")
-            self._run_epoch("ckge_attr", self._ckge_attr_loss, sup_attr,
-                            int(a.attribute_batch_size), label=f"{i} ckge attr")
-            if i > a.start_predicate_soft_alignment:
-                self._run_epoch("ckga_attr", self._ckga_attr_loss, ckga_rows,
+            if use_attrs:
+                attr_rows = self._w1000(pa.attribute_triples_w_weights1
+                                        + pa.attribute_triples_w_weights2)
+                ckga_rows = self._w1000(pa.sup_attribute_alignment_triples1
+                                        + pa.sup_attribute_alignment_triples2)
+                self._run_epoch("attr", self._attr_view_loss, attr_rows,
                                 int(a.attribute_batch_size),
-                                label=f"{i} ckga attr")
+                                label=f"{i} attr view")
+                self._run_epoch("cross_name", self._cross_name_loss, ent_rows,
+                                int(a.entity_batch_size),
+                                label=f"{i} cross-name")
+                self._run_epoch("ckge_attr", self._ckge_attr_loss, sup_attr,
+                                int(a.attribute_batch_size),
+                                label=f"{i} ckge attr")
+                if i > a.start_predicate_soft_alignment:
+                    self._run_epoch("ckga_attr", self._ckga_attr_loss,
+                                    ckga_rows, int(a.attribute_batch_size),
+                                    label=f"{i} ckga attr")
 
             if i >= a.start_valid and i % a.eval_freq == 0:
                 self._valid_view("rv")
-                self._valid_view("av")
+                if use_attrs:
+                    self._valid_view("av")
                 flag = self.valid(a.stop_metric)
                 self.flag1, self.flag2, self.early_stop = early_stop(
                     self.flag1, self.flag2, flag)
@@ -430,9 +464,10 @@ class MultiKE(BasicModel):
             if i >= a.start_predicate_soft_alignment and i % 10 == 0:
                 pa.update_predicate_alignment(
                     np.asarray(self._t(self.params, "rel_embeds")))
-                pa.update_predicate_alignment(
-                    np.asarray(self.params["attr_embeds"]),
-                    predicate_type="attribute")
+                if use_attrs:
+                    pa.update_predicate_alignment(
+                        np.asarray(self.params["attr_embeds"]),
+                        predicate_type="attribute")
         print("Training ends. Total time = {:.3f} s.".format(time.time() - t))
 
     # ------------------------------------------------------------------ #
