@@ -33,10 +33,12 @@ def _resolve_args(spec: str):
 
 def main(argv=None, mode: str = "full"):
     """mode: full | test (re-evaluate saved embeddings) | rev (align
-    KG2->KG1) | wo_attr (attribute-free ablation).  These are the four
-    sweep modes of the reference's run_15K.sh / variant drivers
-    (main_from_args_test.py, main_from_args_reversed.py,
-    main_from_args_wo_attr.py)."""
+    KG2->KG1) | wo_attr (attribute-free ablation) | mesh (multi-chip
+    training: tables row-sharded over a device mesh, sharded CSLS eval).
+    The first four are the sweep modes of the reference's run_15K.sh /
+    variant drivers (main_from_args_test.py, main_from_args_reversed.py,
+    main_from_args_wo_attr.py); mesh is new capability — the reference
+    pins one GPU (run/run_15K.sh:96)."""
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) < 1:
         print(__doc__)
@@ -53,6 +55,8 @@ def main(argv=None, mode: str = "full"):
 
     if mode == "wo_attr":
         args.use_attributes = False
+    if mode == "mesh":
+        args.use_mesh = True
     remove_unlinked = args.embedding_module == "RSN4EA"
     if mode == "rev":
         from openea_tpu.data.kg import read_reversed_kgs_from_folder

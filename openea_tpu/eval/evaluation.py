@@ -22,14 +22,16 @@ from openea_tpu.ops.ranking import rank_and_argmax, metrics_from_ranks
 
 def greedy_alignment(embed1, embed2, top_k, nums_threads=1, metric="inner",
                      normalize=False, csls_k=0, accurate=True,
-                     block=4096, compute_dtype=None) -> Tuple[set, float, float, float]:
+                     block=4096, compute_dtype=None,
+                     mesh=None) -> Tuple[set, float, float, float]:
     """Row i of embed1 is gold-aligned to row i of embed2's first n1 rows.
 
     Returns (alignment_rest as {(i, argmax_i)}, hits@1, MR, MRR).
     `nums_threads` is accepted for reference API compat and ignored.
     ``compute_dtype='bfloat16'`` runs the similarity matmuls in bf16
     (2x MXU throughput; rank flips only between candidates within bf16
-    epsilon of each other).
+    epsilon of each other).  ``mesh`` (a 1-D Mesh) row-shards the ranking
+    pass over every device (parallel/eval_sharded.py).
     """
     t = time.time()
     if compute_dtype == "bfloat16" and metric in ("inner", "cosine"):
@@ -37,9 +39,17 @@ def greedy_alignment(embed1, embed2, top_k, nums_threads=1, metric="inner",
         embed2 = jnp.asarray(embed2, jnp.bfloat16)
     n1 = embed1.shape[0]
     gold = jnp.arange(n1, dtype=jnp.int32)
-    ranks, best = rank_and_argmax(jnp.asarray(embed1), jnp.asarray(embed2),
-                                  gold, metric=metric, normalize=normalize,
-                                  csls_k=csls_k, block=block)
+    if mesh is not None:
+        from openea_tpu.parallel.eval_sharded import sharded_rank_and_argmax
+        ranks, best = sharded_rank_and_argmax(
+            mesh, embed1, embed2, np.asarray(gold), metric=metric,
+            normalize=normalize, csls_k=csls_k, block=min(block, 2048))
+    else:
+        ranks, best = rank_and_argmax(jnp.asarray(embed1),
+                                      jnp.asarray(embed2),
+                                      gold, metric=metric,
+                                      normalize=normalize,
+                                      csls_k=csls_k, block=block)
     ranks = np.asarray(ranks)
     best = np.asarray(best)
     hits, mr, mrr = metrics_from_ranks(ranks, top_k)
@@ -63,22 +73,24 @@ def greedy_alignment(embed1, embed2, top_k, nums_threads=1, metric="inner",
 
 
 def valid(embeds1, embeds2, mapping, top_k, threads_num=1, metric="inner",
-          normalize=False, csls_k=0, accurate=False, compute_dtype=None):
+          normalize=False, csls_k=0, accurate=False, compute_dtype=None,
+          mesh=None):
     if mapping is not None:
         embeds1 = jnp.asarray(embeds1) @ jnp.asarray(mapping)
     _, hits1_12, mr_12, mrr_12 = greedy_alignment(
         embeds1, embeds2, top_k, threads_num, metric, normalize, csls_k,
-        accurate, compute_dtype=compute_dtype)
+        accurate, compute_dtype=compute_dtype, mesh=mesh)
     return hits1_12, mrr_12
 
 
 def test(embeds1, embeds2, mapping, top_k, threads_num=1, metric="inner",
-         normalize=False, csls_k=0, accurate=True, compute_dtype=None):
+         normalize=False, csls_k=0, accurate=True, compute_dtype=None,
+         mesh=None):
     if mapping is not None:
         embeds1 = jnp.asarray(embeds1) @ jnp.asarray(mapping)
     alignment_rest_12, hits1_12, mr_12, mrr_12 = greedy_alignment(
         embeds1, embeds2, top_k, threads_num, metric, normalize, csls_k,
-        accurate, compute_dtype=compute_dtype)
+        accurate, compute_dtype=compute_dtype, mesh=mesh)
     return alignment_rest_12, hits1_12, mrr_12
 
 

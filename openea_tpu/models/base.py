@@ -59,6 +59,12 @@ class BasicModel:
         self.flag2 = -1
         self.early_stop = False
         self._epoch_fn_cache = {}
+        # multi-chip: set by init() when args.use_mesh and >1 device
+        self.mesh = None
+        self._pshard = None
+        self._oshard = None
+        self._moshard = None
+        self._repl = None
 
     # ------------------------------------------------------------------ #
     # protocol
@@ -80,6 +86,79 @@ class BasicModel:
         self._define_variables(k)
         self._define_optimizers()
         self._prepare_training_arrays()
+        if self.args.get("use_mesh") and len(jax.devices()) > 1:
+            self._setup_mesh()
+
+    # ------------------------------------------------------------------ #
+    # multi-chip: entity/relation tables row-sharded over 'model', data
+    # replicated (triple arrays are tiny next to the tables), epochs jitted
+    # with explicit in/out shardings so XLA's SPMD partitioner turns table
+    # gathers into local gathers + psum over ICI and keeps the scatter-add
+    # gradients shard-local (SURVEY.md §2.6; the reference pins a single
+    # GPU, run/run_15K.sh:96 — this axis is new capability)
+    # ------------------------------------------------------------------ #
+
+    def _setup_mesh(self):
+        from openea_tpu.parallel.mesh import (
+            make_mesh, param_shardings, replicated)
+        from openea_tpu.parallel.train_step import _opt_state_shardings
+        n = int(self.args.get("mesh_devices") or 0) or None
+        self.mesh = make_mesh(n)
+        self._pshard = param_shardings(self.mesh, self.params)
+        self._repl = replicated(self.mesh)
+        # row-sharded tables must divide evenly over the 'model' axis: pad
+        # with zero rows (never looked up — ids stay < the real count) and
+        # re-init the optimizer accumulators for the padded shapes
+        tp = dict(self.mesh.shape).get("model", 1)
+        from jax.sharding import PartitionSpec as _P
+        padded = False
+        for name, sh in self._pshard.items():
+            if sh.spec and sh.spec[0] == "model":
+                x = self.params[name]
+                p = (-x.shape[0]) % tp
+                if p:
+                    self.params[name] = jnp.concatenate(
+                        [x, jnp.zeros((p,) + x.shape[1:], x.dtype)])
+                    padded = True
+        if padded:
+            self.opt_state = self.opt.init(self.params)
+            if self.mapping_opt_state is not None:
+                self.mapping_opt_state = self.mapping_opt.init(self.params)
+        self.params = jax.device_put(self.params, self._pshard)
+        self._oshard = _opt_state_shardings(
+            self.mesh, self.opt_state, self.params, self._pshard)
+        self.opt_state = jax.device_put(self.opt_state, self._oshard)
+        if self.mapping_opt_state is not None:
+            self._moshard = _opt_state_shardings(
+                self.mesh, self.mapping_opt_state, self.params, self._pshard)
+            self.mapping_opt_state = jax.device_put(
+                self.mapping_opt_state, self._moshard)
+        print("mesh training enabled: {} devices, mesh {}"
+              .format(self.mesh.size, dict(self.mesh.shape)))
+
+    def _jit_epoch(self, fn, n_extra: int, donate=(0, 1),
+                   with_map_state: bool = False):
+        """jit an epoch-style fn (params, opt_state[, map_state], key,
+        *data) with mesh shardings when mesh training is on."""
+        is_mapping = donate == "mapping"  # (params, mapping_opt_state, ...)
+        if is_mapping:
+            donate = (0, 1)
+        if self.mesh is None:
+            return jax.jit(fn, donate_argnums=donate)
+        r = self._repl
+        osh = self._oshard
+        if is_mapping:
+            osh = self._moshard if self._moshard is not None else r
+        ins = [self._pshard, osh]
+        outs = [self._pshard, osh]
+        if with_map_state:
+            ms = self._moshard if self._moshard is not None else r
+            ins.append(ms)
+            outs.append(ms)
+        ins += [r] * (1 + n_extra)          # key + data args (replicated)
+        outs += [r, r] if with_map_state else [r]   # loss output(s)
+        return jax.jit(fn, in_shardings=tuple(ins),
+                       out_shardings=tuple(outs), donate_argnums=donate)
 
     def check_args(self):
         """Per-model hyperparameter contract (reference-style asserts)."""
@@ -262,8 +341,8 @@ class BasicModel:
 
     def _epoch_fn(self, use_tables: bool):
         if use_tables not in self._epoch_fn_cache:
-            self._epoch_fn_cache[use_tables] = jax.jit(
-                self._make_epoch_fn(use_tables), donate_argnums=(0, 1))
+            self._epoch_fn_cache[use_tables] = self._jit_epoch(
+                self._make_epoch_fn(use_tables), n_extra=6)
         return self._epoch_fn_cache[use_tables]
 
     def _make_mapping_epoch_fn(self):
@@ -326,7 +405,8 @@ class BasicModel:
                 body, (params, opt_state, map_state), keys)
             return params, opt_state, map_state, tls, mls
 
-        return jax.jit(multi, donate_argnums=(0, 1, 2))
+        return self._jit_epoch(multi, n_extra=6, donate=(0, 1, 2),
+                               with_map_state=True)
 
     def launch_training_k_epo(self, first_epoch: int, k: int):
         start = time.time()
@@ -374,8 +454,8 @@ class BasicModel:
     def launch_mapping_training_1epo(self, epoch: int):
         start = time.time()
         if not hasattr(self, "_mapping_epoch_fn_c"):
-            self._mapping_epoch_fn_c = jax.jit(self._make_mapping_epoch_fn(),
-                                               donate_argnums=(0, 1))
+            self._mapping_epoch_fn_c = self._jit_epoch(
+                self._make_mapping_epoch_fn(), n_extra=0, donate="mapping")
         self.key, k = jax.random.split(self.key)
         self.params, self.mapping_opt_state, loss_sum = self._mapping_epoch_fn_c(
             self.params, self.mapping_opt_state, k)
@@ -428,6 +508,9 @@ class BasicModel:
             return 0
         self.params = jax.tree.map(jnp.asarray, state["params"])
         self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        if self.mesh is not None:
+            self.params = jax.device_put(self.params, self._pshard)
+            self.opt_state = jax.device_put(self.opt_state, self._oshard)
         self.key = jnp.asarray(state["key"])
         self.flag1, self.flag2 = (float(x) for x in state["flags"])
         epoch = int(state["epoch"])
@@ -547,24 +630,34 @@ class BasicModel:
         e2 = ent[jnp.asarray(self.kgs.test_entities2, jnp.int32)]
         return e1, e2, self._mapping_for_eval()
 
+    def _eval_mesh(self):
+        """1-D mesh over the training mesh's devices for row-sharded eval
+        (None when mesh training is off -> single-device eval path)."""
+        if self.mesh is None:
+            return None
+        from openea_tpu.parallel.eval_sharded import eval_mesh
+        return eval_mesh(list(self.mesh.devices.flatten()))
+
     def valid(self, stop_metric: str):
         e1, e2, mapping = self._eval_valid_embeddings()
         hits1, mrr = eval_valid(e1, e2, mapping, self.args.top_k,
                                 metric=self.args.eval_metric,
                                 normalize=self.args.eval_norm,
                                 csls_k=0, accurate=False,
-                                compute_dtype=self.args.get("compute_dtype"))
+                                compute_dtype=self.args.get("compute_dtype"),
+                                mesh=self._eval_mesh())
         return hits1 if stop_metric == "hits1" else mrr
 
     def test(self, save: bool = True):
         e1, e2, mapping = self._eval_test_embeddings()
+        mesh = self._eval_mesh()
         rest_12, _, _ = eval_test(e1, e2, mapping, self.args.top_k,
                                   metric=self.args.eval_metric,
                                   normalize=self.args.eval_norm,
-                                  csls_k=0, accurate=True)
+                                  csls_k=0, accurate=True, mesh=mesh)
         eval_test(e1, e2, mapping, self.args.top_k,
                   metric=self.args.eval_metric, normalize=self.args.eval_norm,
-                  csls_k=self.args.csls, accurate=True)
+                  csls_k=self.args.csls, accurate=True, mesh=mesh)
         if save:
             pairs = [(self.kgs.test_entities1[i], self.kgs.test_entities2[j])
                      for i, j in rest_12]

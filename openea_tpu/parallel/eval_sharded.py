@@ -1,26 +1,43 @@
-"""Multi-chip sharded alignment evaluation.
+"""Multi-chip sharded alignment evaluation (incl. CSLS).
 
 The N1 x N2 similarity/ranking pass is embarrassingly row-parallel: shard
 the query rows over every device (ICI), replicate the candidate block, and
-compute exact ranks shard-locally with no collective in the hot loop — the
-scaling-book recipe of annotate-shardings-and-let-XLA-partition, applied
-via shard_map for explicitness.  This is the multi-chip form of
-ops/ranking.rank_and_argmax (the reference's equivalent is a host
-multiprocessing.Pool over rows, alignment.py:44-61).
+compute exact ranks shard-locally — the scaling-book recipe of
+annotate-shardings-and-let-XLA-partition, applied via shard_map for
+explicitness.  This is the multi-chip form of ops/ranking.rank_and_argmax
+(the reference's equivalent is a host multiprocessing.Pool over rows,
+modules/finding/alignment.py:44-61).
+
+CSLS (reference modules/finding/similarity.py:57-83) needs two global
+statistics:
+
+* r1[i] — mean top-k similarity of query row i against ALL candidates:
+  shard-local (each shard holds full candidate block).
+* r2[j] — mean top-k similarity of candidate j against ALL query rows:
+  the query axis is sharded, so each shard computes its LOCAL per-candidate
+  top-k [n2, k], one all_gather over 'x' combines them to [S*k] per
+  candidate, and a second top-k reduces to the exact global top-k.  The
+  collective moves O(S * n2 * k) floats — k/n1-th of the full matrix.
+
+Row blocks bound peak memory to [block, n2] per shard, so 100K-scale
+(70K x 70K) never materializes a full shard slab.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from openea_tpu.ops.initializers import l2_normalize
 from openea_tpu.ops.ranking import metrics_from_ranks
+from openea_tpu.ops.similarity import _pairwise
+
+_NEG = jnp.float32(-1e30)
 
 
 def eval_mesh(devices=None) -> Mesh:
@@ -29,46 +46,110 @@ def eval_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devs), ("x",))
 
 
+def _row_blocks(x: jax.Array, block: int):
+    """[m, ...] -> [nb, block, ...] zero-padded."""
+    m = x.shape[0]
+    nb = -(-m // block)
+    pad = nb * block - m
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    return x.reshape((nb, block) + x.shape[1:]), nb, pad
+
+
 def sharded_rank_and_argmax(mesh: Mesh, embed1, embed2, gold_cols,
-                            normalize: bool = False
+                            metric: str = "inner", normalize: bool = False,
+                            csls_k: int = 0, block: int = 2048,
                             ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact 0-based rank of gold + argmax column per row, rows sharded
-    over the mesh's 'x' axis."""
-    n1 = embed1.shape[0]
+    over the mesh's 'x' axis.  Matches ops/ranking.rank_and_argmax
+    (same tie-breaking: stable descending argsort order)."""
+    n1 = int(embed1.shape[0])
     n_dev = mesh.size
-    pad = (-n1) % n_dev
+    m = -(-n1 // n_dev)                      # rows per shard
+    pad = m * n_dev - n1
     e1 = np.asarray(embed1, np.float32)
     gold = np.asarray(gold_cols, np.int32)
+    valid = np.ones(n1, np.float32)
     if pad:
         e1 = np.concatenate([e1, np.zeros((pad, e1.shape[1]), np.float32)])
         gold = np.concatenate([gold, np.zeros(pad, np.int32)])
+        valid = np.concatenate([valid, np.zeros(pad, np.float32)])
     e2 = jnp.asarray(embed2, jnp.float32)
-    col_idx = jnp.arange(e2.shape[0], dtype=jnp.int32)
+    n2 = int(e2.shape[0])
+    blk = min(block, m)
+    k = min(csls_k, m * n_dev, n2) if csls_k > 0 else 0
+    col_idx = jnp.arange(n2, dtype=jnp.int32)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("x", None), P(None, None), P("x")),
+             in_specs=(P("x", None), P(None, None), P("x"), P("x")),
              out_specs=(P("x"), P("x")))
-    def local(e1s, e2r, golds):
+    def local(e1s, e2r, golds, val):
         a, b = e1s, e2r
         if normalize:
             a, b = l2_normalize(a), l2_normalize(b)
-        s = a @ b.T
-        gold_val = jnp.take_along_axis(s, golds[:, None].astype(jnp.int32), axis=1)
-        greater = jnp.sum((s > gold_val).astype(jnp.int32), axis=1)
-        ties = jnp.sum(((s == gold_val)
-                        & (col_idx[None, :] < golds[:, None])).astype(jnp.int32),
-                       axis=1)
-        return greater + ties, jnp.argmax(s, axis=1).astype(jnp.int32)
+        met = "inner" if (normalize and metric == "cosine") else metric
+        m_local = a.shape[0]
+        a_blocks, nb, _ = _row_blocks(a, blk)
+        v_blocks, _, _ = _row_blocks(val, blk)
+
+        r1 = r2 = None
+        if k > 0:
+            # pass 1: row means of top-k (shard-local) + local column top-k
+            def stat_blk(carry, xs):
+                rows, v = xs
+                s = _pairwise(rows, b, met, False)
+                # padded rows must not contribute to column stats
+                s_masked = jnp.where(v[:, None] > 0, s, _NEG)
+                top_r, _ = jax.lax.top_k(s, k)
+                cand = jnp.concatenate([carry, s_masked.T], axis=1)
+                carry, _ = jax.lax.top_k(cand, k)            # [n2, k]
+                return carry, jnp.mean(top_r, axis=1)
+
+            # mark the init as device-varying so the scan carry types match
+            col_top0 = jax.lax.pcast(jnp.full((n2, k), _NEG), ("x",),
+                                     to="varying")
+            col_top, r1_blocks = jax.lax.scan(
+                stat_blk, col_top0, (a_blocks, v_blocks))
+            r1 = r1_blocks.reshape(-1)
+            # exact global top-k per candidate: gather every shard's local
+            # top-k and reduce
+            gathered = jax.lax.all_gather(col_top, "x", axis=0)  # [S, n2, k]
+            merged = jnp.swapaxes(gathered, 0, 1).reshape(n2, -1)
+            g_top, _ = jax.lax.top_k(merged, k)
+            r2 = jnp.mean(g_top, axis=1)                         # [n2]
+
+        def rank_blk(args):
+            rows, g = args[0], args[1]
+            s = _pairwise(rows, b, met, False)
+            if k > 0:
+                s = 2.0 * s - args[2][:, None] - r2[None, :]
+            gv = jnp.take_along_axis(s, g[:, None].astype(jnp.int32), axis=1)
+            greater = jnp.sum((s > gv).astype(jnp.int32), axis=1)
+            ties = jnp.sum(((s == gv)
+                            & (col_idx[None, :] < g[:, None])).astype(jnp.int32),
+                           axis=1)
+            return greater + ties, jnp.argmax(s, axis=1).astype(jnp.int32)
+
+        g_blocks, _, _ = _row_blocks(golds, blk)
+        args = (a_blocks, g_blocks)
+        if k > 0:
+            args = args + (r1.reshape(nb, blk),)
+        ranks, best = jax.lax.map(rank_blk, args)
+        return ranks.reshape(-1)[:m_local], best.reshape(-1)[:m_local]
 
     fn = jax.jit(local)
-    ranks, best = fn(jnp.asarray(e1), e2, jnp.asarray(gold))
+    ranks, best = fn(jnp.asarray(e1), e2, jnp.asarray(gold),
+                     jnp.asarray(valid))
     return np.asarray(ranks)[:n1], np.asarray(best)[:n1]
 
 
 def sharded_greedy_eval(mesh: Mesh, embed1, embed2, top_k,
-                        normalize: bool = False):
+                        metric: str = "inner", normalize: bool = False,
+                        csls_k: int = 0):
     """(hits@k list, MR, MRR) with rows sharded over the mesh."""
     gold = np.arange(embed1.shape[0], dtype=np.int32)
     ranks, _ = sharded_rank_and_argmax(mesh, embed1, embed2, gold,
-                                       normalize=normalize)
+                                       metric=metric, normalize=normalize,
+                                       csls_k=csls_k)
     return metrics_from_ranks(ranks, list(top_k))

@@ -2,18 +2,23 @@
 
 The scaling axis of this workload is graph size (SURVEY.md §5): the
 full-graph SpMM is the hot op of GCN-Align/AliNet/RDGCN.  Sharding
-design (§2.6 north star):
+design (§2.6 north star) — two variants:
 
-* node features X row-sharded over the mesh ('x' axis);
-* edges partitioned by DESTINATION row shard (each device owns the
-  edges that produce its output rows), padded to equal per-shard nnz;
-* source-feature access crosses shards, resolved with one all_gather of
-  X over ICI, overlapped by XLA with the local gather+segment-sum.
+1. all_gather (``partition_adj`` + ``sharded_spmm``): node features X
+   row-sharded, edges partitioned by DESTINATION row shard, one
+   all_gather of X over ICI resolves cross-shard source access.  Simple,
+   and bandwidth-optimal when most X rows are needed by most shards.
 
-For tables that fit per-device HBM the all_gather form is bandwidth-
-optimal (each X row moves once per step); an all_to_all boundary-entity
-exchange only wins when the working set exceeds HBM — that variant is a
-follow-up.
+2. boundary exchange (``plan_boundary_exchange`` + ``boundary_spmm``):
+   contiguous row ranges balanced by nnz (not row count — power-law
+   degree skew makes equal-row shards up to ~2x imbalanced), and each
+   shard fetches ONLY the source rows its edges reference, via one
+   all_to_all of the boundary entities.  Per-shard collective volume is
+   O(S * R * d) where R = max boundary size per (dest, src) pair,
+   vs O(N * d) for the all_gather — the win on large graphs where each
+   shard touches a fraction of the node set, and the form whose volume
+   stays constant as the graph scales with the mesh (BASELINE.md north
+   star: edge-partitioned KGs + boundary-entity all-to-all).
 """
 
 from __future__ import annotations
@@ -92,3 +97,130 @@ def sharded_spmm(mesh: Mesh, sadj: ShardedAdj, x: jax.Array) -> jax.Array:
 
     out = jax.jit(run)(xp, sadj.row_local, sadj.col, sadj.val)
     return out[:n]
+
+
+class BoundaryPlan:
+    """Host-precomputed exchange plan for ``boundary_spmm``.
+
+    row_starts [S+1]   — contiguous global row range per shard (nnz-balanced)
+    mr                 — max rows owned by any shard (row padding)
+    row_local [S, Ep]  — destination row local to its shard (pad -> 0, val 0)
+    col_buf   [S, Ep]  — edge source position in the flat receive buffer
+                         (owner_shard * r + slot)
+    val       [S, Ep]  — edge weight (0 for padding)
+    send_idx  [S, S, r]— rows (local to the SOURCE shard) each shard sends
+                         to each destination; slot-aligned with col_buf
+    in_map    [S*mr]   — global row feeding each padded x slot (N for pad)
+    out_map   [N]      — padded slot holding each global output row
+    """
+
+    def __init__(self, row_starts, mr, row_local, col_buf, val, send_idx,
+                 in_map, out_map, n_rows, r):
+        self.row_starts = row_starts
+        self.mr = mr
+        self.row_local = row_local
+        self.col_buf = col_buf
+        self.val = val
+        self.send_idx = send_idx
+        self.in_map = in_map
+        self.out_map = out_map
+        self.n_rows = n_rows
+        self.r = r
+
+
+def plan_boundary_exchange(adj: SparseAdj, n_shards: int) -> BoundaryPlan:
+    """Partition a row-sorted COO into nnz-balanced contiguous row ranges
+    and precompute the boundary-entity all_to_all plan."""
+    row = np.asarray(adj.row)
+    col = np.asarray(adj.col)
+    val = np.asarray(adj.val)
+    n = adj.n_rows
+    nnz = row.shape[0]
+    S = n_shards
+
+    # contiguous row ranges with ~equal nnz: split the row-sorted edge
+    # list at S-1 evenly spaced edge positions, snapped to row boundaries
+    starts = [0]
+    for s in range(1, S):
+        target_row = int(row[min((s * nnz) // S, nnz - 1)])
+        starts.append(max(target_row, starts[-1] + 1))
+    row_starts = np.asarray([min(s, n) for s in starts] + [n], np.int64)
+    mr = int(np.max(row_starts[1:] - row_starts[:-1]))
+    owner_of_row = np.searchsorted(row_starts[1:], np.arange(n), side="right")
+
+    shard_of_edge = owner_of_row[row]
+    col_owner = owner_of_row[col]
+
+    # per (dest, src) unique boundary rows + per-edge slot
+    reqs = [[None] * S for _ in range(S)]
+    ep = 1
+    r = 1
+    edge_data = []
+    for d in range(S):
+        m = shard_of_edge == d
+        ed_row, ed_col, ed_val, ed_owner = row[m], col[m], val[m], col_owner[m]
+        slots = np.zeros(ed_col.shape[0], np.int64)
+        for s in range(S):
+            ms = ed_owner == s
+            uniq, inv = np.unique(ed_col[ms], return_inverse=True)
+            reqs[d][s] = uniq - row_starts[s]        # local to source shard
+            slots[ms] = inv
+            r = max(r, len(uniq))
+        ep = max(ep, int(m.sum()))
+        edge_data.append((ed_row - row_starts[d], ed_owner, slots, ed_val))
+
+    row_local = np.zeros((S, ep), np.int32)
+    col_buf = np.zeros((S, ep), np.int32)
+    val_p = np.zeros((S, ep), np.float32)
+    send_idx = np.zeros((S, S, r), np.int32)
+    for d in range(S):
+        lr, owner, slots, v = edge_data[d]
+        k = lr.shape[0]
+        row_local[d, :k] = lr
+        col_buf[d, :k] = owner * r + slots
+        val_p[d, :k] = v
+        for s in range(S):
+            q = reqs[d][s]
+            send_idx[s, d, :len(q)] = q
+
+    in_map = np.full(S * mr, 0, np.int32)
+    in_valid = np.zeros(S * mr, np.float32)
+    out_map = np.zeros(n, np.int32)
+    for s in range(S):
+        k = int(row_starts[s + 1] - row_starts[s])
+        sl = np.arange(row_starts[s], row_starts[s + 1])
+        in_map[s * mr: s * mr + k] = sl
+        in_valid[s * mr: s * mr + k] = 1.0
+        out_map[sl] = s * mr + np.arange(k)
+    plan = BoundaryPlan(row_starts, mr, jnp.asarray(row_local),
+                        jnp.asarray(col_buf), jnp.asarray(val_p),
+                        jnp.asarray(send_idx), jnp.asarray(in_map),
+                        jnp.asarray(out_map), n, r)
+    plan.in_valid = jnp.asarray(in_valid)
+    return plan
+
+
+def boundary_spmm(mesh: Mesh, plan: BoundaryPlan, x: jax.Array) -> jax.Array:
+    """out[i] = sum_e val[e] * x[col[e]] with one boundary-entity
+    all_to_all instead of a full all_gather."""
+    S = mesh.size
+    mr, r = plan.mr, plan.r
+    # shard-major padded layout (pad slots read row 0, masked to 0)
+    xp = x[plan.in_map] * plan.in_valid[:, None]
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("x", None), P("x", None), P("x", None),
+                       P("x", None), P("x", None, None)),
+             out_specs=P("x", None))
+    def run(xs, row_l, col_b, vals, send):
+        # xs [mr, d]; send[0] [S, r]: rows THIS shard sends to each dest
+        buf = xs[send[0]]                               # [S, r, d]
+        recv = jax.lax.all_to_all(buf, "x", split_axis=0, concat_axis=0,
+                                  tiled=False)          # [S, r, d]
+        flat = recv.reshape(S * r, -1)
+        gathered = vals[0][:, None] * flat[col_b[0]]
+        return jax.ops.segment_sum(gathered, row_l[0], num_segments=mr)
+
+    out = jax.jit(run)(xp, plan.row_local, plan.col_buf, plan.val,
+                       plan.send_idx)
+    return out.reshape(S * mr, -1)[plan.out_map]

@@ -134,3 +134,101 @@ def test_sharded_spmm_matches_dense():
     out = np.asarray(sharded_spmm(mesh, sadj, x))
     ref = np.asarray(spmm(adj, x))
     assert np.allclose(out, ref, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_csls_eval_matches_single_device():
+    from openea_tpu.parallel.eval_sharded import (eval_mesh,
+                                                  sharded_rank_and_argmax)
+    from openea_tpu.ops.ranking import rank_and_argmax
+    rng = np.random.RandomState(3)
+    for n1, n2, csls, metric, norm in [(333, 500, 5, "inner", True),
+                                       (256, 300, 10, "euclidean", False),
+                                       (64, 80, 3, "cosine", False)]:
+        e1 = rng.randn(n1, 32).astype(np.float32)
+        e2 = rng.randn(n2, 32).astype(np.float32)
+        e2[:n1] = e1 + 0.1 * rng.randn(n1, 32)
+        gold = np.arange(n1, dtype=np.int32)
+        r_ref, b_ref = rank_and_argmax(
+            jnp.asarray(e1), jnp.asarray(e2), jnp.asarray(gold),
+            metric=metric, normalize=norm, csls_k=csls, block=128)
+        r_sh, b_sh = sharded_rank_and_argmax(
+            eval_mesh(), e1, e2, gold, metric=metric, normalize=norm,
+            csls_k=csls, block=37)
+        assert np.array_equal(np.asarray(r_ref), r_sh)
+        assert np.array_equal(np.asarray(b_ref), b_sh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_model_training_matches_single_device():
+    """A registered model trains on the 2x4 mesh (use_mesh=True) with
+    bit-identical losses, metrics, and parameters vs single-device."""
+    from tests.test_models_e2e import run_model, test_hits1
+    kw = dict(init="normal", optimizer="Adagrad", eval_metric="inner",
+              ent_l2_norm=True, rel_l2_norm=True, loss="limited",
+              neg_sampling="truncated", truncated_epsilon=0.9,
+              truncated_freq=5, pos_margin=0.01, neg_margin=2.0,
+              neg_margin_balance=0.2, learning_rate=0.05, neg_triple_num=5,
+              eval_norm=True)
+    m1, _ = run_model("AlignE", "swapping", epochs=10, **kw)
+    m2, _ = run_model("AlignE", "swapping", epochs=10, use_mesh=True, **kw)
+    assert m2.mesh is not None and m2.mesh.size == 8
+    h1, mrr1 = test_hits1(m1)
+    h2, mrr2 = test_hits1(m2)
+    assert h1 == h2 and mrr1 == mrr2
+    n = np.asarray(m1.params["ent_embeds"]).shape[0]
+    e1 = np.asarray(m1.params["ent_embeds"])
+    e2 = np.asarray(m2.params["ent_embeds"])[:n]
+    assert np.abs(e1 - e2).max() == 0.0
+    # tables really are row-sharded over the 'model' axis
+    spec = m2.params["ent_embeds"].sharding.spec
+    assert spec and spec[0] == "model"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_mapping_model_matches_single_device():
+    """MTransE (mapping module, super-steps) on the mesh: identical
+    metrics; exercises the mapping optimizer sharding path."""
+    from tests.test_models_e2e import run_model, test_hits1
+    kw = dict(init="unit", optimizer="Adagrad", eval_metric="inner",
+              ent_l2_norm=True, rel_l2_norm=True, alpha=5, eval_norm=True,
+              epochs_per_call=4)
+    m1, _ = run_model("MTransE", "mapping", epochs=8, **kw)
+    m2, _ = run_model("MTransE", "mapping", epochs=8, use_mesh=True, **kw)
+    h1, mrr1 = test_hits1(m1)
+    h2, mrr2 = test_hits1(m2)
+    assert h1 == h2 and mrr1 == mrr2
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_boundary_spmm_matches_dense_and_balances_nnz():
+    from openea_tpu.ops.graph import build_sparse, spmm
+    from openea_tpu.parallel.eval_sharded import eval_mesh
+    from openea_tpu.parallel.spmm_sharded import (plan_boundary_exchange,
+                                                  boundary_spmm)
+    rng = np.random.RandomState(0)
+    n = 500
+    dense = (rng.rand(n, n) < 0.02) * rng.randn(n, n)
+    r, c = np.nonzero(dense)
+    adj = build_sparse(r.astype(np.int32), c.astype(np.int32),
+                       dense[r, c].astype(np.float32), n)
+    x = jnp.asarray(rng.randn(n, 32).astype(np.float32))
+    plan = plan_boundary_exchange(adj, 8)
+    out = np.asarray(boundary_spmm(eval_mesh(), plan, x))
+    assert np.allclose(out, np.asarray(spmm(adj, x)), atol=1e-4)
+    # boundary exchange volume beats the all_gather at this sparsity
+    assert 8 * plan.r < n
+
+    # power-law degrees: nnz-balanced contiguous ranges stay within 5%
+    deg = np.clip((1.0 / np.random.RandomState(1).power(0.3, 2000))
+                  .astype(int), 1, 400)
+    rows = np.repeat(np.arange(2000), deg).astype(np.int32)
+    cols = np.random.RandomState(2).randint(0, 2000, rows.shape[0]).astype(np.int32)
+    adj2 = build_sparse(rows, cols, np.ones(rows.shape[0], np.float32), 2000)
+    plan2 = plan_boundary_exchange(adj2, 8)
+    per_shard = np.asarray([(np.asarray(plan2.val)[s] != 0).sum()
+                            for s in range(8)], np.float64)
+    assert per_shard.max() / per_shard.mean() < 1.05
+    x2 = jnp.asarray(np.random.RandomState(3).randn(2000, 32).astype(np.float32))
+    out2 = np.asarray(boundary_spmm(eval_mesh(), plan2, x2))
+    assert np.allclose(out2, np.asarray(spmm(adj2, x2)), atol=1e-3)
