@@ -1,0 +1,186 @@
+"""Metric-parity harness against the reference's published numbers.
+
+Runs the BASELINE.md primary configs on real OpenEA datasets and diffs
+Hits@1 / MRR against the published 5-fold averages
+(reference docs/detailed_results_current_approaches_{15K,100K}.csv;
+see BASELINE.md for the exact rows).  The image ships no OpenEA data, so
+the harness is built to run the moment a dataset folder exists:
+
+    python -m openea_tpu.cli.parity --training_data /data/OpenEA/ \\
+        [--configs mtranse_enfr_15k,gcnalign_enfr_15k] [--folds 1,2,3] \\
+        [--band 0.02] [--max_epoch N]
+
+``--synthetic`` smoke-runs every config end-to-end on a synthetic pair
+(tiny epochs, no band check) so CI can prove the harness itself works.
+
+Output: one table row per (config, fold) plus the across-fold average
+diffed against the target band, and a JSON line for scripting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Dict, List, NamedTuple, Optional
+
+import numpy as np
+
+
+class ParityConfig(NamedTuple):
+    key: str
+    preset: str               # presets.py key
+    scale: str                # 15K | 100K
+    dataset: str              # folder name under training_data
+    hits1: Optional[float]    # published target (fraction), None = report-only
+    mrr: Optional[float]
+    source: str
+
+
+CONFIGS: Dict[str, ParityConfig] = {c.key: c for c in [
+    ParityConfig("mtranse_enfr_15k", "mtranse", "15K", "EN_FR_15K_V1",
+                 0.24678, 0.351, "15K csv EN-FR MTransE (V1)"),
+    ParityConfig("gcnalign_enfr_15k", "gcnalign", "15K", "EN_FR_15K_V1",
+                 0.33804, 0.451, "15K csv EN-FR GCN-Align (V1)"),
+    ParityConfig("bootea_enfr_15k", "bootea", "15K", "EN_FR_15K_V1",
+                 0.50705, 0.603, "15K csv EN-FR BootEA (V1)"),
+    ParityConfig("rdgcn_ende_100k", "rdgcn", "100K", "EN_DE_100K_V1",
+                 0.72207, 0.756, "100K csv EN-DE RDGCN (V1)"),
+    ParityConfig("alinet_dw_15k", "alinet", "15K", "D_W_15K_V2",
+                 None, None, "external sheet (reference README.md:29)"),
+]}
+
+
+def run_config(cfg: ParityConfig, training_data: str, fold: int,
+               overrides: Dict) -> Dict:
+    """One (config, fold) training run; returns hits1/mrr (plain + CSLS)."""
+    from openea_tpu.config import Args
+    from openea_tpu.data.kg import read_kgs_from_folder
+    from openea_tpu.eval.evaluation import test as eval_test
+    from openea_tpu.presets import get_preset_dict
+    from openea_tpu.registry import get_model
+
+    base = get_preset_dict(cfg.preset, cfg.scale)
+    base["training_data"] = training_data.rstrip("/") + "/" + cfg.dataset + "/"
+    base["dataset_division"] = f"721_5fold/{fold}/"
+    base["is_save"] = False
+    base.update(overrides)
+    args = Args(base)
+
+    remove_unlinked = args.embedding_module == "RSN4EA"
+    kgs = read_kgs_from_folder(args.training_data, args.dataset_division,
+                               args.alignment_module, args.ordered,
+                               remove_unlinked=remove_unlinked)
+    model = get_model(args.embedding_module)()
+    model.set_args(args)
+    model.set_kgs(kgs)
+    model.init()
+    t0 = time.time()
+    model.run()
+    train_s = time.time() - t0
+    e1, e2, mapping = model._eval_test_embeddings()
+    _, hits1, mrr = eval_test(e1, e2, mapping, args.top_k,
+                              metric=args.eval_metric,
+                              normalize=args.eval_norm,
+                              csls_k=0, accurate=True)
+    _, hits1_c, mrr_c = eval_test(e1, e2, mapping, args.top_k,
+                                  metric=args.eval_metric,
+                                  normalize=args.eval_norm,
+                                  csls_k=args.csls, accurate=True)
+    return {"hits1": hits1 / 100.0, "mrr": mrr,
+            "hits1_csls": hits1_c / 100.0, "mrr_csls": mrr_c,
+            "train_s": train_s}
+
+
+def run_synthetic(cfg: ParityConfig, overrides: Dict) -> Dict:
+    """Harness smoke path: same pipeline on an in-memory synthetic pair."""
+    from openea_tpu.config import Args
+    from openea_tpu.data.synthetic import synthesize_kg_pair
+    from openea_tpu.eval.evaluation import test as eval_test
+    from openea_tpu.presets import get_preset_dict
+    from openea_tpu.registry import get_model
+
+    base = get_preset_dict(cfg.preset, "15K")
+    base["is_save"] = False
+    base["max_epoch"] = 2
+    base["start_valid"] = 1000
+    base.update(overrides)
+    args = Args(base)
+    kgs = synthesize_kg_pair(num_entities=300, num_relations=10,
+                             num_triples=1500, mode=args.alignment_module,
+                             train_frac=0.3, num_attributes=30, seed=13)
+    model = get_model(args.embedding_module)()
+    model.set_args(args)
+    model.set_kgs(kgs)
+    model.init()
+    model.run()
+    e1, e2, mapping = model._eval_test_embeddings()
+    _, hits1, mrr = eval_test(e1, e2, mapping, [1, 5], metric=args.eval_metric,
+                              normalize=args.eval_norm, csls_k=0,
+                              accurate=True)
+    return {"hits1": hits1 / 100.0, "mrr": mrr, "hits1_csls": float("nan"),
+            "mrr_csls": float("nan"), "train_s": 0.0}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--training_data", default="")
+    ap.add_argument("--configs", default="all")
+    ap.add_argument("--folds", default="1")
+    ap.add_argument("--band", type=float, default=0.02,
+                    help="allowed |actual - published| (the paper's 5-fold "
+                         "stds are ~0.005-0.02)")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--max_epoch", type=int, default=0,
+                    help="override preset epochs (0 = preset value)")
+    known = ap.parse_args(argv)
+
+    keys = (list(CONFIGS) if known.configs == "all"
+            else known.configs.split(","))
+    folds = [int(f) for f in known.folds.split(",")]
+    overrides: Dict = {}
+    if known.max_epoch:
+        overrides["max_epoch"] = known.max_epoch
+
+    rows: List[Dict] = []
+    all_ok = True
+    for key in keys:
+        cfg = CONFIGS[key]
+        fold_res = []
+        for fold in folds:
+            if known.synthetic:
+                r = run_synthetic(cfg, overrides)
+            else:
+                r = run_config(cfg, known.training_data, fold, overrides)
+            fold_res.append(r)
+            print(f"[parity] {key} fold {fold}: hits1={r['hits1']:.4f} "
+                  f"mrr={r['mrr']:.4f} (csls {r['hits1_csls']:.4f}/"
+                  f"{r['mrr_csls']:.4f}) train {r['train_s']:.0f}s")
+        h = float(np.mean([r["hits1"] for r in fold_res]))
+        m = float(np.mean([r["mrr"] for r in fold_res]))
+        row = {"config": key, "hits1": round(h, 5), "mrr": round(m, 5),
+               "target_hits1": cfg.hits1, "target_mrr": cfg.mrr,
+               "folds": folds, "source": cfg.source}
+        if cfg.hits1 is not None and not known.synthetic:
+            row["d_hits1"] = round(h - cfg.hits1, 5)
+            row["d_mrr"] = round(m - cfg.mrr, 5)
+            # one-sided: beating the published number is parity too
+            row["ok"] = (h >= cfg.hits1 - known.band
+                         and m >= cfg.mrr - known.band)
+            all_ok = all_ok and row["ok"]
+        rows.append(row)
+
+    print("\nconfig                 hits1    target   mrr      target   ok")
+    for r in rows:
+        th = "-" if r["target_hits1"] is None else f"{r['target_hits1']:.4f}"
+        tm = "-" if r["target_mrr"] is None else f"{r['target_mrr']:.4f}"
+        ok = r.get("ok", "-")
+        print(f"{r['config']:<22} {r['hits1']:.4f}   {th:<8} "
+              f"{r['mrr']:.4f}   {tm:<8} {ok}")
+    print(json.dumps({"parity": rows, "band": known.band,
+                      "ok": all_ok if not known.synthetic else None}))
+    return 0 if (known.synthetic or all_ok) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

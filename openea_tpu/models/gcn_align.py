@@ -32,7 +32,8 @@ import optax
 from openea_tpu.data import read as rd
 from openea_tpu.eval.evaluation import early_stop
 from openea_tpu.models.base import BasicModel
-from openea_tpu.ops.graph import SparseAdj, normalized_weighted_adj, build_sparse, spmm
+from openea_tpu.ops.graph import (SparseAdj, normalized_weighted_adj,
+                                  build_sparse, spmm, spmm_fn)
 from openea_tpu.ops.initializers import l2_normalize
 
 
@@ -110,6 +111,11 @@ class GCN_Align(BasicModel):
         self.opt = optax.sgd(a.learning_rate)
         self.opt_state = self.opt.init(self.params)
         self._train_links = np.asarray(self.kgs.train_links_array, np.int32)
+        # TPU: Pallas sorted-segment SpMM (adjacency weights are constants
+        # here, so the no-val-grad Pallas path is exact)
+        self._spmm_adj = spmm_fn(self.adj)
+        self._spmm_attr = (spmm_fn(self.attr_sp, n_cols=a_num)
+                           if self.attr_sp is not None else None)
         self._step_fn = self._make_step_fn()
 
     # ------------------------------------------------------------------ #
@@ -117,13 +123,13 @@ class GCN_Align(BasicModel):
     # ------------------------------------------------------------------ #
 
     def _forward_se(self, params):
-        h = jax.nn.relu(spmm(self.adj, params["w_se"]))
-        return spmm(self.adj, h)
+        h = jax.nn.relu(self._spmm_adj(params["w_se"]))
+        return self._spmm_adj(h)
 
     def _forward_ae(self, params):
-        x = spmm(self.attr_sp, params["w_ae"])
-        h = jax.nn.relu(spmm(self.adj, x))
-        return spmm(self.adj, h)
+        x = self._spmm_attr(params["w_ae"])
+        h = jax.nn.relu(self._spmm_adj(x))
+        return self._spmm_adj(h)
 
     @staticmethod
     def _align_loss(out, links, neg_right, neg2_left, gamma, k):

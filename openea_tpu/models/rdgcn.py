@@ -149,6 +149,11 @@ class RDGCN(BasicModel):
         self._m_row = np.asarray(row)
         self._m_col = np.asarray(col)
         self._m_val = np.asarray(val)
+        # TPU hot path: Pallas sorted-segment SpMM (primal adjacency
+        # weights are constants, so the no-val-grad kernel is exact)
+        from openea_tpu.ops.graph import build_sparse, spmm_fn
+        self._spmm_fast = spmm_fn(
+            build_sparse(self._m_row, self._m_col, self._m_val, E, host=True))
         head_inc, tail_inc, (er, ec, ev) = relation_structures(triples, E, R)
         hr, he, hc = incidence_pairs(head_inc)
         tr, te, tc = incidence_pairs(tail_inc)
@@ -197,9 +202,7 @@ class RDGCN(BasicModel):
     # ------------------------------------------------------------------ #
 
     def _spmm_m(self, x):
-        g = self._m_val[:, None] * x[self._m_col]
-        return jax.ops.segment_sum(g, self._m_row, num_segments=self.E,
-                                   indices_are_sorted=True)
+        return self._spmm_fast(x)
 
     def _compute_r(self, x):
         h_sum = jax.ops.segment_sum(x[self._hr_ent], self._hr_rel,

@@ -94,6 +94,33 @@ def segmented_weighted_gather_sum(row: jax.Array, col: jax.Array,
     return out
 
 
+def spmm_fn(adj: SparseAdj, use_pallas=None, min_nnz: int = 65536,
+            n_cols: int = None):
+    """Return a closure ``y(x) = adj @ x`` with backend dispatch: the
+    Pallas sorted-segment kernel (ops/spmm_pallas.py) on TPU backends,
+    the segment-sum path elsewhere.  Measured on-chip at the 100K
+    benchmark shape (n=200K, nnz=2.4M, d=128) the Pallas path is 4.9x
+    faster forward and 6.5x fwd+bwd.  Adjacency values are constants to
+    the Pallas path (no val gradient) — attention-weighted adjacencies
+    must keep ``spmm``.
+
+    Call at model-setup time (plan building is host-side numpy); the
+    returned closure is jit-traceable.  ``n_cols`` must be given for
+    rectangular matrices (e.g. attribute incidence [n_ents, n_attrs]) so
+    the backward transpose plan has the right output height.
+    """
+    nnz = int(np.asarray(adj.row).shape[0])
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu" and nnz >= min_nnz
+    if not use_pallas:
+        return lambda x: spmm(adj, x)
+    from openea_tpu.ops.spmm_pallas import make_csr_spmm, plans_from_coo
+    plan, plan_t = plans_from_coo(np.asarray(adj.row), np.asarray(adj.col),
+                                  np.asarray(adj.val), adj.n_rows,
+                                  n_cols=n_cols)
+    return make_csr_spmm(plan, plan_t)
+
+
 def build_sparse(row: np.ndarray, col: np.ndarray, val: np.ndarray,
                  n_rows: int, host: bool = False) -> SparseAdj:
     """Row-sorted COO.  ``host=True`` keeps the arrays as numpy: use it

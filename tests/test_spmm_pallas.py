@@ -1,0 +1,107 @@
+"""Pallas sorted-segment CSR SpMM (ops/spmm_pallas.py) vs segment-sum.
+
+Runs the kernel in interpret mode (CPU image); the on-chip path is
+exercised by bench/GNN runs on TPU.  Reference op being replaced:
+tf.sparse_tensor_dense_matmul (gcn_align.py:83, alinet.py:581,
+rdgcn.py:202-215).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openea_tpu.ops.graph import build_sparse, spmm, spmm_fn
+from openea_tpu.ops.spmm_pallas import (EC, TM, build_spmm_plan,
+                                        make_csr_spmm, plans_from_coo)
+
+
+def _random_coo(n, nnz, seed, empty_stride=0):
+    rng = np.random.RandomState(seed)
+    row = rng.randint(0, n, nnz).astype(np.int32)
+    col = rng.randint(0, n, nnz).astype(np.int32)
+    val = rng.randn(nnz).astype(np.float32)
+    if empty_stride:
+        keep = (row % empty_stride) != 1          # leave rows empty
+        row, col, val = row[keep], col[keep], val[keep]
+    return row, col, val
+
+
+def _dense_ref(row, col, val, n, x):
+    ref = np.zeros((n, x.shape[1]), np.float32)
+    np.add.at(ref, row, val[:, None] * x[col])
+    return ref
+
+
+@pytest.mark.parametrize("n,nnz,d", [(700, 5000, 96), (300, 12000, 128),
+                                     (129, 50, 40)])
+def test_forward_matches_segment_sum(n, nnz, d):
+    row, col, val = _random_coo(n, nnz, seed=n, empty_stride=7)
+    x = np.random.RandomState(1).randn(n, d).astype(np.float32)
+    plan, plan_t = plans_from_coo(row, col, val, n)
+    f = make_csr_spmm(plan, plan_t, interpret=True)
+    out = np.asarray(f(jnp.asarray(x)))
+    ref = _dense_ref(row, col, val, n, x)
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(out - ref).max() / scale < 1e-5
+
+
+def test_backward_matches_autodiff_of_segment_sum():
+    n, nnz, d = 520, 4000, 64
+    row, col, val = _random_coo(n, nnz, seed=3)
+    x = jnp.asarray(np.random.RandomState(2).randn(n, d).astype(np.float32))
+    plan, plan_t = plans_from_coo(row, col, val, n)
+    f = make_csr_spmm(plan, plan_t, interpret=True)
+    adj = build_sparse(row, col, val, n)
+    g = jax.grad(lambda xx: jnp.sum(jnp.tanh(f(xx))))(x)
+    gref = jax.grad(lambda xx: jnp.sum(jnp.tanh(spmm(adj, xx))))(x)
+    scale = float(jnp.abs(gref).max()) + 1e-9
+    assert float(jnp.abs(g - gref).max()) / scale < 1e-5
+
+
+def test_plan_structure_invariants():
+    n, nnz = 1000, 20000
+    row, col, val = _random_coo(n, nnz, seed=5)
+    plan = build_spmm_plan(row, col, val, n)
+    nc = plan.window.shape[0]
+    assert plan.col.shape == (nc * EC,)
+    assert plan.val.shape == plan.rowloc.shape == (nc, 8, EC // 8)
+    # windows sorted, every window present exactly once at a `first` chunk
+    assert np.all(np.diff(plan.window) >= 0)
+    firsts = plan.window[plan.first.astype(bool)]
+    assert np.array_equal(firsts, np.arange(plan.n_windows))
+    # rowloc stays inside its window
+    assert plan.rowloc.min() >= 0 and plan.rowloc.max() < TM
+    # padding carries zero weight
+    used = int(plan.first.sum()) * 0  # noqa: F841 (doc only)
+    assert float(np.abs(plan.val).sum()) == pytest.approx(
+        float(np.abs(val).sum()), rel=1e-6)
+
+
+def test_empty_adjacency_returns_zeros():
+    p0, pt0 = plans_from_coo(np.zeros(0, np.int32), np.zeros(0, np.int32),
+                             np.zeros(0, np.float32), 40)
+    f0 = make_csr_spmm(p0, pt0, interpret=True)
+    out = f0(jnp.ones((40, 16), jnp.float32))
+    assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_spmm_fn_dispatches_to_segment_sum_on_cpu():
+    n, nnz, d = 200, 3000, 32
+    row, col, val = _random_coo(n, nnz, seed=9)
+    adj = build_sparse(row, col, val, n)
+    f = spmm_fn(adj)          # cpu backend -> fallback
+    x = jnp.asarray(np.random.RandomState(3).randn(n, d).astype(np.float32))
+    assert np.allclose(np.asarray(f(x)), np.asarray(spmm(adj, x)), atol=1e-5)
+
+
+def test_spmm_fn_forced_pallas_matches():
+    n, nnz, d = 400, 6000, 48
+    row, col, val = _random_coo(n, nnz, seed=11)
+    adj = build_sparse(row, col, val, n)
+    x = np.random.RandomState(4).randn(n, d).astype(np.float32)
+    plan, plan_t = plans_from_coo(row, col, val, n)
+    f = make_csr_spmm(plan, plan_t, interpret=True)
+    ref = _dense_ref(np.asarray(adj.row), np.asarray(adj.col),
+                     np.asarray(adj.val), n, x)
+    assert np.abs(np.asarray(f(jnp.asarray(x))) - ref).max() < 1e-4
