@@ -1,9 +1,15 @@
 """GMNN graph matching network."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 
+from openea_tpu.config import Args
+from openea_tpu.data.kg import KG, KGs
 from openea_tpu.data.synthetic import synthesize_kg_pair
+from openea_tpu.registry import get_model
 from tests.test_models_e2e import run_model
 
 
@@ -12,6 +18,95 @@ def gmnn_kgs():
                               num_triples=500, mode="mapping",
                               edge_keep_prob=1.0, noise_edge_frac=0.0,
                               train_frac=0.4, seed=17)
+
+
+_VOCAB = ["blue", "red", "green", "old", "new", "big", "small", "north",
+          "south", "east", "west", "high", "low", "stone", "river", "lake",
+          "hill", "wood", "field", "bridge", "tower", "gate", "mill",
+          "church", "castle", "market", "port", "road", "park", "square"]
+
+
+def noisy_name_kgs(num_entities=120, seed=3):
+    """KG pair whose aligned entities have OVERLAPPING but NON-IDENTICAL
+    names: kg1 uses three vocab words, kg2 drops the first word and appends
+    a language marker.  Candidate recall must come from partial token
+    overlap, not string identity."""
+    rng = np.random.RandomState(seed)
+    names, seen = [], set()
+    while len(names) < num_entities:
+        combo = tuple(rng.choice(len(_VOCAB), 3, replace=False).tolist())
+        if combo not in seen:
+            seen.add(combo)
+            names.append([_VOCAB[i] for i in combo])
+    uri1 = [f"http://kg1/{'_'.join(w)}" for w in names]
+    uri2 = [f"http://kg2/{'_'.join(w[1:] + ['fr'])}" for w in names]
+    ring = [(e, (e + 1) % num_entities) for e in range(num_entities)]
+    rel1 = [(uri1[h], "http://kg1/r0", uri1[t]) for h, t in ring]
+    rel2 = [(uri2[h], "http://kg2/r0", uri2[t]) for h, t in ring]
+    links = [(uri1[e], uri2[e]) for e in range(num_entities)]
+    n_tr = int(0.3 * num_entities)
+    return KGs(KG(rel1, []), KG(rel2, []), links[:n_tr], links[n_tr + 10:],
+               valid_links=links[n_tr:n_tr + 10], mode="mapping", ordered=True)
+
+
+def small_gmnn(kgs, **kw):
+    model = get_model("GMNN")()
+    model.set_args(Args(cand_size=10, word_embedding_dim=16,
+                        hidden_layer_dim=16, aggregator_dim_first=16,
+                        cosine_MP_dim=4, word_size_max=1, dev_batch_size=20,
+                        sample_size_per_layer=1, seed=0, **kw))
+    model.set_kgs(kgs)
+    model.init()
+    return model
+
+
+def test_gmnn_candidates_nonidentical_names():
+    """Gold must be recalled into the candidate list when names share only
+    2 of 3 tokens (VERDICT r1: 'candidate recall on non-identical names')."""
+    kgs = noisy_name_kgs()
+    model = small_gmnn(kgs)
+    cands = model.generate_candidates(kgs.test_links)
+    hit = np.mean([b in set(row.tolist())
+                   for (a, b), row in zip(kgs.test_links, cands)])
+    # random recall would be cand_size/|KG2| = 10/120 ~ 8%
+    assert hit > 0.6, f"candidate recall {hit:.2f} too low"
+
+
+def test_gmnn_gradient_flow():
+    """Every parameter leaf receives a finite, nonzero gradient through the
+    full encode->match->aggregate->pool->MLP stack."""
+    kgs = noisy_name_kgs(num_entities=40)
+    model = small_gmnn(kgs)
+    links = kgs.train_links[:4]
+    ex = model.build_examples(links, model.generate_candidates(links))
+
+    def loss_fn(p):
+        logits = model._logits(p, jnp.asarray(ex[:, 0]), jnp.asarray(ex[:, 1]))
+        onehot = jax.nn.one_hot(jnp.asarray(ex[:, 2]), 2)
+        return jnp.mean(optax.softmax_cross_entropy(logits, onehot))
+
+    grads = jax.grad(loss_fn)(model.params)
+    for name, g in grads.items():
+        norm = float(jnp.linalg.norm(g))
+        assert np.isfinite(norm), f"non-finite grad for {name}"
+        assert norm > 0.0, f"zero grad for {name} (dead path)"
+
+
+def test_gmnn_rerank_parity_hand_computed():
+    """_rank_eval against a hand-computed mini fixture: 3 sources x 4
+    candidates with known match probabilities -> known hits/MR/MRR."""
+    model = get_model("GMNN")()
+    model.set_args(Args(cand_size=4, dev_batch_size=20))
+    #                 src0: gold rank 1   src1: gold rank 2   src2: gold rank 4
+    probs = np.array([0.9, 0.1, 0.2, 0.3,
+                      0.4, 0.8, 0.1, 0.2,
+                      0.1, 0.5, 0.4, 0.3], np.float32)
+    labels = np.array([1, 0, 0, 0] * 3, np.int64)
+    ex = np.stack([np.zeros(12, np.int64), np.zeros(12, np.int64), labels], 1)
+    model._match_probs = lambda examples, bsz: probs
+    hits1, mrr = model._rank_eval(ex, "accurate")
+    assert hits1 == pytest.approx(100.0 / 3, abs=1e-2)
+    assert mrr == pytest.approx((1.0 + 0.5 + 0.25) / 3, abs=1e-6)
 
 
 def test_gmnn_candidates_contain_gold():
