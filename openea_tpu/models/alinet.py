@@ -228,10 +228,28 @@ class AliNet(BasicModel):
         two_pairs = np.concatenate([
             generate_2hop_pairs(tri1, self.linked_ents, cap2, a.seed),
             generate_2hop_pairs(tri2, self.linked_ents, cap2, a.seed + 1)])
-        self.adj2 = undirected_normalized_adj(
+        adj2_h = undirected_normalized_adj(
             n, np.stack([two_pairs[:, 0],
                          np.zeros(len(two_pairs), np.int64),
-                         two_pairs[:, 1]], axis=1))
+                         two_pairs[:, 1]], axis=1), host=True)
+        self.adj2 = SparseAdj(jnp.asarray(adj2_h.row), jnp.asarray(adj2_h.col),
+                              jnp.asarray(adj2_h.val), n)
+        # Pallas attention aggregation: static 2-hop structure -> chunk
+        # metas (dyn_csr_spmm with SDDMM backward); mega-chunked so only
+        # ~1M gathered edge-features materialize at once.  adj2 and the
+        # metas are step ARGUMENTS (not trace constants): at 100K scale
+        # the index arrays are tens of MB each.
+        self._att_metas = None
+        self._att_block = 0
+        if (jax.default_backend() != "cpu"
+                and adj2_h.row.shape[0] >= 65536):
+            from openea_tpu.ops.spmm_pallas import EC, metas_from_coo
+            S = max(1, (1 << 20) // EC)
+            meta, meta_t = metas_from_coo(np.asarray(adj2_h.row),
+                                          np.asarray(adj2_h.col), n,
+                                          pad_chunks_to=S)
+            self._att_metas = (meta.device_put(), meta_t.device_put())
+            self._att_block = S
 
         ht, lens, n_rel = rel_ht_table(one_hop, seed=a.seed)
         # host numpy: closure constants of the jitted step (fast lowering)
@@ -275,7 +293,8 @@ class AliNet(BasicModel):
     # forward
     # ------------------------------------------------------------------ #
 
-    def _forward(self, params, adj1: SparseAdj, adj2: SparseAdj):
+    def _forward(self, params, adj1: SparseAdj, adj2: SparseAdj,
+                 att_metas=None):
         x = params["init_embedding"]
         outputs = []
         for i in range(self.layer_num):
@@ -283,14 +302,14 @@ class AliNet(BasicModel):
             one = jnp.tanh(spmm(adj1, xb @ params[f"gcn_{i}_kernel"])
                            + params[f"gcn_{i}_bias"])
             if i < self.layer_num - 1:
-                two = self._attention(params, i, x, adj2)
+                two = self._attention(params, i, x, adj2, att_metas)
                 x = self._highway(params, i, two, one)
             else:
                 x = one
             outputs.append(x)
         return outputs
 
-    def _attention(self, params, i, x, adj: SparseAdj):
+    def _attention(self, params, i, x, adj: SparseAdj, att_metas=None):
         xb = _affine_bn(x, params[f"att_{i}_gamma"], params[f"att_{i}_beta"])
         mapped = xb @ params[f"att_{i}_kernel"]
         s1 = jnp.tanh(jnp.sum((xb @ params[f"att_{i}_kernel1"]) * xb, axis=1))
@@ -298,9 +317,16 @@ class AliNet(BasicModel):
         evals = jax.nn.leaky_relu(adj.val * s1[adj.row] + adj.val * s2[adj.col],
                                   negative_slope=0.2)
         soft = segment_softmax(evals, adj.row, adj.n_rows)
-        from openea_tpu.ops.graph import segmented_weighted_gather_sum
-        out = segmented_weighted_gather_sum(adj.row, adj.col, soft, mapped,
-                                            adj.n_rows)
+        if att_metas is not None:
+            # Pallas sorted-segment SpMM with SDDMM val-backward; adj's
+            # edges are row-sorted = the metas' original edge order
+            from openea_tpu.ops.spmm_pallas import dyn_csr_spmm
+            out = dyn_csr_spmm(att_metas[0], att_metas[1], soft, mapped,
+                               False, self._att_block)
+        else:
+            from openea_tpu.ops.graph import segmented_weighted_gather_sum
+            out = segmented_weighted_gather_sum(adj.row, adj.col, soft,
+                                                mapped, adj.n_rows)
         return jnp.tanh(out)
 
     def _highway(self, params, i, input1, input2):
@@ -325,9 +351,9 @@ class AliNet(BasicModel):
         n_rel = self._n_rel_win
         opt = self.opt
 
-        def step(params, opt_state, adj1, adj2, pos, neg, key):
+        def step(params, opt_state, adj1, adj2, att_metas, pos, neg, key):
             def loss_fn(p):
-                outputs = self._forward(p, adj1, adj2)
+                outputs = self._forward(p, adj1, adj2, att_metas)
                 emb = self._concat_embeds(p, outputs)
                 e1, e2 = emb[pos[:, 0]], emb[pos[:, 1]]
                 pos_loss = jnp.sum(jnp.square(e1 - e2))
@@ -385,7 +411,8 @@ class AliNet(BasicModel):
     # ------------------------------------------------------------------ #
 
     def _output_embeds(self):
-        outputs = self._forward(self.params, self.adj1, self.adj2)
+        outputs = self._forward(self.params, self.adj1, self.adj2,
+                                self._att_metas)
         return outputs
 
     def find_neighbors(self):
@@ -490,7 +517,7 @@ class AliNet(BasicModel):
                 self.key, k = jax.random.split(self.key)
                 self.params, self.opt_state, loss = step_fn(
                     self.params, self.opt_state, self.adj1, self.adj2,
-                    jnp.asarray(pos), jnp.asarray(neg), k)
+                    self._att_metas, jnp.asarray(pos), jnp.asarray(neg), k)
                 epoch_loss += float(loss)
             print("epoch {}, loss: {:.4f}, cost time: {:.4f}s"
                   .format(epoch, epoch_loss, time.time() - start))

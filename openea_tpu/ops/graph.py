@@ -212,7 +212,8 @@ def normalized_weighted_adj(num_ents: int,
 
 def undirected_normalized_adj(num_ents: int,
                               triples: Sequence[Tuple[int, int, int]],
-                              pad_to: int = 0) -> SparseAdj:
+                              pad_to: int = 0,
+                              host: bool = False) -> SparseAdj:
     """Binary undirected adjacency, sym-normalized with self-loops
     (reference alinet.py:155-181 no_weighted_adj + preprocess_adj).
 
@@ -235,7 +236,7 @@ def undirected_normalized_adj(num_ents: int,
         row = np.concatenate([row, np.zeros(extra, np.int32)])
         col = np.concatenate([col, np.zeros(extra, np.int32)])
         val = np.concatenate([val, np.zeros(extra, np.float32)])
-    return build_sparse(row, col, val, num_ents)
+    return build_sparse(row, col, val, num_ents, host=host)
 
 
 def segment_softmax(values: jax.Array, segments: jax.Array,

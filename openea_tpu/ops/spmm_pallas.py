@@ -212,3 +212,316 @@ def plans_from_coo(row: np.ndarray, col: np.ndarray, val: np.ndarray,
     plan = build_spmm_plan(row, col, val, n_rows)
     plan_t = build_spmm_plan(col, row, val, n_cols)
     return plan, plan_t
+
+
+# --------------------------------------------------------------------- #
+# dynamic-value SpMM + SDDMM backward (attention aggregation)
+# --------------------------------------------------------------------- #
+
+
+@jax.tree_util.register_pytree_node_class
+class ChunkMeta:
+    """Chunk routing for a fixed sparsity STRUCTURE whose edge values are
+    traced (attention weights): a SpmmPlan minus ``val``, plus ``slots`` —
+    the flat chunk-slot position of each input edge, so traced per-edge
+    values scatter into the padded chunk layout inside jit.
+
+    Registered as a pytree (n_rows/n_windows static) so large metas can be
+    passed as jit ARGUMENTS instead of being embedded as trace constants
+    (at 100K-scale 2-hop adjacencies the three index arrays are ~80 MB
+    each — constant-embedding them would bloat every step executable)."""
+
+    def __init__(self, col, rowloc, window, first, slots,
+                 n_rows: int, n_windows: int):
+        self.col = col          # [NC*EC] gather indices (pad -> 0)
+        self.rowloc = rowloc    # [NC, 8, EC//8]
+        self.window = window    # [NC]
+        self.first = first      # [NC]
+        self.slots = slots      # [nnz] input-edge -> flat chunk slot
+        self.n_rows = n_rows
+        self.n_windows = n_windows
+
+    def tree_flatten(self):
+        return ((self.col, self.rowloc, self.window, self.first,
+                 self.slots), (self.n_rows, self.n_windows))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def device_put(self) -> "ChunkMeta":
+        """Copy index arrays to device (use when the meta is a step
+        ARGUMENT, so it is not re-uploaded every call)."""
+        return ChunkMeta(*(jnp.asarray(a) for a in
+                           (self.col, self.rowloc, self.window, self.first,
+                            self.slots)),
+                         self.n_rows, self.n_windows)
+
+
+def build_chunk_meta(row: np.ndarray, col: np.ndarray, n_rows: int,
+                     pad_chunks_to: int = 1) -> ChunkMeta:
+    """Like build_spmm_plan but for traced values: also records where each
+    ORIGINAL edge lands in the chunked layout.  ``pad_chunks_to``: round
+    the chunk count up to a multiple (blocked execution reshapes chunks
+    into [n_mega, S]); pad chunks carry zero values into the last window."""
+    row = np.asarray(row)
+    col = np.asarray(col)
+    nnz = len(row)
+    order = np.argsort(row, kind="stable")
+    row_s, col_s = row[order], col[order]
+
+    n_windows = max(-(-n_rows // TM), 1)
+    win = row_s // TM
+    wcounts = np.bincount(win, minlength=n_windows).astype(np.int64)
+    wstarts = np.concatenate([[0], np.cumsum(wcounts)])
+    chunks_per = np.maximum(-(-wcounts // EC), 1)
+    nc = int(chunks_per.sum())
+    nc_pad = -(-nc // pad_chunks_to) * pad_chunks_to
+
+    col_p = np.zeros(nc_pad * EC, np.int32)
+    rowloc_p = np.zeros(nc_pad * EC, np.int32)
+    # pad chunks: zero-valued edges into the LAST window (keeps the
+    # window sequence nondecreasing for blocked relative indexing)
+    window_p = np.full(nc_pad, n_windows - 1, np.int32)
+    first_p = np.zeros(nc_pad, np.int32)
+    slot_sorted = np.zeros(nnz, np.int64)
+
+    ci = 0
+    for w in range(n_windows):
+        pos, cnt = int(wstarts[w]), int(wcounts[w])
+        for j in range(int(chunks_per[w])):
+            lo = pos + j * EC
+            hi = min(pos + (j + 1) * EC, pos + cnt)
+            k = hi - lo
+            dst = ci * EC
+            col_p[dst:dst + k] = col_s[lo:hi]
+            rowloc_p[dst:dst + k] = row_s[lo:hi] - w * TM
+            slot_sorted[lo:hi] = np.arange(dst, dst + k)
+            window_p[ci] = w
+            first_p[ci] = 1 if j == 0 else 0
+            ci += 1
+
+    slots = np.zeros(nnz, np.int64)
+    slots[order] = slot_sorted
+    return ChunkMeta(col=col_p, rowloc=rowloc_p.reshape(nc_pad, 8, EC // 8),
+                     window=window_p, first=first_p,
+                     slots=slots.astype(np.int32),
+                     n_rows=n_rows, n_windows=n_windows)
+
+
+def _sddmm_kernel(win_ref, rowloc_ref, p_ref, g_ref, out_ref):
+    """Per-edge <g[row_e], p_e> for one chunk: M = g @ p^T on the MXU
+    ([TM, EC] = every window row x every edge), then mask with the row
+    one-hot and reduce over sublanes — Mosaic-friendly layouts only (a
+    direct [EC, 1] rowloc column or [EC]->(8,128) reshape is an
+    unsupported shape cast)."""
+    rl = rowloc_ref[0].reshape(1, EC)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (TM, EC), 0)
+           == rl).astype(jnp.float32)
+    m = jax.lax.dot_general(g_ref[:], p_ref[:], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)  # [TM, EC]
+    out_ref[:] = jnp.sum(sel * m, axis=0, keepdims=True)[None]    # (1,1,EC)
+
+
+@functools.partial(jax.jit, static_argnames=("n_windows", "interpret"))
+def _sorted_segment_sddmm(rowloc, window, p, g, n_windows: int,
+                          interpret: bool = False):
+    nc = window.shape[0]
+    d = p.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                     # window
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((1, 8, EC // 8), lambda i, w: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EC, d), lambda i, w: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, d), lambda i, w: (w[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, EC), lambda i, w: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _sddmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nc, 1, EC), jnp.float32),
+        interpret=interpret,
+    )(window, rowloc, p, g)
+    return out.reshape(nc * EC)
+
+
+def _scatter_val(m: ChunkMeta, val):
+    n_chunks = m.window.shape[0]
+    flat = jnp.zeros((n_chunks * EC,), jnp.float32)
+    flat = flat.at[jnp.asarray(m.slots)].set(val.astype(jnp.float32))
+    return flat.reshape(n_chunks, 8, EC // 8)
+
+
+def _pad_lanes(x):
+    d0 = x.shape[1]
+    d = -(-d0 // _LANE) * _LANE
+    xp = x.astype(jnp.float32)
+    if d != d0:
+        xp = jnp.pad(xp, ((0, 0), (0, d - d0)))
+    return xp
+
+
+def _blocked_segment_matmul(meta: ChunkMeta, val_c, xp, S: int,
+                            interpret: bool):
+    """Mega-chunked A @ x: scan over groups of S chunks so only
+    [S*EC, d] of gathered features materializes at once (at 100K-scale
+    attention adjacencies the full gather would be tens of GB).  Each
+    mega-chunk covers a contiguous window range (chunks are window-
+    sorted, every window owns >= 1 chunk, so S consecutive chunks span
+    <= S+1 windows); its partial sums accumulate into the carry at the
+    mega's window offset, masked to the windows it actually visited."""
+    NC = meta.window.shape[0]
+    assert NC % S == 0, (NC, S)
+    n_mega = NC // S
+    d = xp.shape[1]
+    W = S + 1
+    win_m = jnp.asarray(meta.window).reshape(n_mega, S)
+    first_m = jnp.asarray(meta.first).reshape(n_mega, S).at[:, 0].set(1)
+    cols_m = jnp.asarray(meta.col).reshape(n_mega, S * EC)
+    val_m = val_c.reshape(n_mega, S, 8, EC // 8)
+    rowloc_m = jnp.asarray(meta.rowloc).reshape(n_mega, S, 8, EC // 8)
+    out0 = jnp.zeros((meta.n_windows * TM + W * TM, d), jnp.float32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (W * TM, 1), 0)
+
+    def body(out, args):
+        w, f, c, v, rl = args
+        w0 = w[0]
+        p = xp[c]
+        mega = _sorted_segment_matmul(v, rl, w - w0, f, p, W * TM, W,
+                                      interpret=interpret)
+        # blocks past the last visited window hold uninitialized memory
+        mega = jnp.where(row_ids < (w[-1] - w0 + 1) * TM, mega, 0.0)
+        seg = jax.lax.dynamic_slice(out, (w0 * TM, 0), (W * TM, d))
+        out = jax.lax.dynamic_update_slice(out, seg + mega, (w0 * TM, 0))
+        return out, None
+
+    out, _ = jax.lax.scan(body, out0, (win_m, first_m, cols_m, val_m,
+                                       rowloc_m))
+    return out
+
+
+def _dyn_forward(meta, val, x, interpret, block_chunks):
+    d0 = x.shape[1]
+    xp = _pad_lanes(x)
+    val_c = _scatter_val(meta, val)
+    if block_chunks and meta.window.shape[0] > block_chunks:
+        out = _blocked_segment_matmul(meta, val_c, xp, block_chunks,
+                                      interpret)
+    else:
+        p = xp[jnp.asarray(meta.col)]
+        out = _sorted_segment_matmul(
+            val_c, jnp.asarray(meta.rowloc), meta.window, meta.first, p,
+            meta.n_rows, meta.n_windows, interpret=interpret)
+    return out[:meta.n_rows, :d0]
+
+
+def _float0_zeros(tree):
+    return jax.tree_util.tree_map(
+        lambda a: np.zeros(np.shape(a), jax.dtypes.float0), tree)
+
+
+def _blocked_sddmm(meta: ChunkMeta, xp, gp, S: int, interpret: bool):
+    """Mega-chunked dval_e = <g[row_e], x[col_e]> (see
+    _blocked_segment_matmul for the memory rationale)."""
+    NC = meta.window.shape[0]
+    assert NC % S == 0, (NC, S)
+    n_mega = NC // S
+    d = xp.shape[1]
+    W = S + 1
+    win_m = jnp.asarray(meta.window).reshape(n_mega, S)
+    cols_m = jnp.asarray(meta.col).reshape(n_mega, S * EC)
+    rowloc_m = jnp.asarray(meta.rowloc).reshape(n_mega, S, 8, EC // 8)
+    gw = jnp.pad(gp, ((0, meta.n_windows * TM + W * TM - gp.shape[0]),
+                      (0, 0)))
+
+    def body(_, args):
+        w, c, rl = args
+        w0 = w[0]
+        p = xp[c]
+        gseg = jax.lax.dynamic_slice(gw, (w0 * TM, 0), (W * TM, d))
+        return None, _sorted_segment_sddmm(rl, w - w0, p, gseg, W,
+                                           interpret=interpret)
+
+    _, dval = jax.lax.scan(body, None, (win_m, cols_m, rowloc_m))
+    return dval.reshape(NC * EC)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def dyn_csr_spmm(meta: ChunkMeta, meta_t: ChunkMeta, val, x,
+                 interpret: bool = False, block_chunks: int = 0):
+    """Differentiable ``y = A(val) @ x`` for a FIXED sparsity structure
+    with TRACED per-edge values (attention weights; reference
+    alinet.py:674-676's softmax-weighted aggregation).
+
+    Forward: scatter val into the chunk layout, gather P = x[col], run the
+    sorted-segment matmul.  Backward: dx = A(val)^T @ g via the transpose
+    meta; dval = SDDMM(g, x) — per-edge <g[row_e], x[col_e]> — gathered
+    back from chunk slots.  Both paths stay on the MXU.
+
+    ``meta``/``meta_t`` are ChunkMeta pytrees (metas_from_coo) and may be
+    passed as jit arguments (device arrays) or closure constants (numpy).
+    ``val`` is in the ORIGINAL edge order given to build_chunk_meta.
+    ``block_chunks``: process S chunks at a time (metas must be built
+    with pad_chunks_to=S) so only [S*EC, d] of gathered features lives at
+    once — required at multi-million-edge scale."""
+    return _dyn_forward(meta, val, x, interpret, block_chunks)
+
+
+def _dyn_fwd(meta, meta_t, val, x, interpret, block_chunks):
+    return (_dyn_forward(meta, val, x, interpret, block_chunks),
+            (meta, meta_t, val, x))
+
+
+def _dyn_bwd(interpret, block_chunks, res, g):
+    meta, meta_t, val, x = res
+    d0 = x.shape[1]
+    gp = _pad_lanes(g)
+    xp = _pad_lanes(x)
+    # dx = A^T @ g  (transpose structure, same traced values)
+    val_t = _scatter_val(meta_t, val)
+    if block_chunks and meta_t.window.shape[0] > block_chunks:
+        dx = _blocked_segment_matmul(meta_t, val_t, gp, block_chunks,
+                                     interpret)[:meta_t.n_rows, :d0]
+    else:
+        pt = gp[jnp.asarray(meta_t.col)]
+        dx = _sorted_segment_matmul(
+            val_t, jnp.asarray(meta_t.rowloc), meta_t.window, meta_t.first,
+            pt, meta_t.n_rows, meta_t.n_windows,
+            interpret=interpret)[:meta_t.n_rows, :d0]
+    # dval_e = <g[row_e], x[col_e]>: SDDMM over the forward layout
+    if block_chunks and meta.window.shape[0] > block_chunks:
+        dval_chunks = _blocked_sddmm(meta, xp, gp, block_chunks, interpret)
+    else:
+        p = xp[jnp.asarray(meta.col)]
+        gw = jnp.pad(gp, ((0, meta.n_windows * TM - gp.shape[0]), (0, 0)))
+        dval_chunks = _sorted_segment_sddmm(
+            jnp.asarray(meta.rowloc), meta.window, p, gw,
+            meta.n_windows, interpret=interpret)
+    dval = dval_chunks[jnp.asarray(meta.slots)].astype(val.dtype)
+    return (_float0_zeros(meta), _float0_zeros(meta_t), dval,
+            dx.astype(x.dtype))
+
+
+dyn_csr_spmm.defvjp(_dyn_fwd, _dyn_bwd)
+
+
+def make_dynamic_csr_spmm(meta: ChunkMeta, meta_t: ChunkMeta,
+                          interpret: bool = False, block_chunks: int = 0):
+    """Closure form of dyn_csr_spmm for small static structures."""
+    return lambda val, x: dyn_csr_spmm(meta, meta_t, val, x, interpret,
+                                       block_chunks)
+
+
+def metas_from_coo(row: np.ndarray, col: np.ndarray, n_rows: int,
+                   n_cols: int | None = None, pad_chunks_to: int = 1):
+    """(meta, meta_T) pair for make_dynamic_csr_spmm / dyn_csr_spmm."""
+    n_cols = n_rows if n_cols is None else n_cols
+    return (build_chunk_meta(row, col, n_rows, pad_chunks_to),
+            build_chunk_meta(col, row, n_cols, pad_chunks_to))

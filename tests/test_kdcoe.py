@@ -35,6 +35,7 @@ def test_gru_apply_shapes_and_gating():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_kdcoe_e2e_runs_and_proposes():
     model, kgs = run_model(
         "KDCoE", "mapping", epochs=10, kgs=kdcoe_kgs(),

@@ -72,6 +72,7 @@ def test_simple_learns():
     assert mrr > 0.06  # random-ranking MRR on this split is ~0.044
 
 
+@pytest.mark.slow
 def test_rotate_learns():
     hits1, mrr = _run_sharing("RotatE", init="uniform", optimizer="Adam",
                               learning_rate=0.05, gamma=12.0, epochs=150,

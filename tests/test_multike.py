@@ -48,6 +48,7 @@ def test_predicate_alignment_bootstrap():
     assert ("http://kg1/born_in", "http://kg2/born_in", 1.0) in pairs
 
 
+@pytest.mark.slow
 def test_multike_e2e_learns():
     model, kgs = run_model(
         "MultiKE", "swapping", epochs=10, kgs=mk_kgs(),
@@ -65,6 +66,7 @@ def test_multike_e2e_learns():
     assert hits1 > 20.0
 
 
+@pytest.mark.slow
 def test_multike_wva_test_path():
     model, kgs = run_model(
         "MultiKE", "swapping", epochs=3, kgs=mk_kgs(),

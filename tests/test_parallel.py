@@ -85,6 +85,7 @@ def test_graft_entry_compiles():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import importlib.util, os
     spec = importlib.util.spec_from_file_location(

@@ -55,7 +55,13 @@ def tiny_kgs_cache():
     return get
 
 
-@pytest.mark.parametrize("name", [n for n in preset_names() if n not in SKIP])
+_SLOW_PRESETS = {"gcnalign"}       # >20s: full-graph SE+AE double step
+
+
+@pytest.mark.parametrize(
+    "name", [pytest.param(n, marks=pytest.mark.slow)
+             if n in _SLOW_PRESETS else n
+             for n in preset_names() if n not in SKIP])
 def test_preset_tiny_run(name, tiny_kgs_cache):
     args = get_preset(name, "15K")
     for k, v in COMMON.items():

@@ -12,8 +12,10 @@ import numpy as np
 import pytest
 
 from openea_tpu.ops.graph import build_sparse, spmm, spmm_fn
-from openea_tpu.ops.spmm_pallas import (EC, TM, build_spmm_plan,
-                                        make_csr_spmm, plans_from_coo)
+from openea_tpu.ops.spmm_pallas import (EC, TM, build_chunk_meta,
+                                        build_spmm_plan, dyn_csr_spmm,
+                                        make_csr_spmm, make_dynamic_csr_spmm,
+                                        metas_from_coo, plans_from_coo)
 
 
 def _random_coo(n, nnz, seed, empty_stride=0):
@@ -105,3 +107,102 @@ def test_spmm_fn_forced_pallas_matches():
     ref = _dense_ref(np.asarray(adj.row), np.asarray(adj.col),
                      np.asarray(adj.val), n, x)
     assert np.abs(np.asarray(f(jnp.asarray(x))) - ref).max() < 1e-4
+
+
+# --------------------------------------------------------------------- #
+# dynamic-value SpMM + SDDMM backward (attention path)
+# --------------------------------------------------------------------- #
+
+
+def test_dynamic_forward_matches_segment_sum():
+    n, nnz, d = 600, 7000, 80
+    row, col, _ = _random_coo(n, nnz, seed=21, empty_stride=5)
+    val = np.random.RandomState(22).rand(len(row)).astype(np.float32)
+    x = np.random.RandomState(23).randn(n, d).astype(np.float32)
+    meta, meta_t = metas_from_coo(row, col, n)
+    f = make_dynamic_csr_spmm(meta, meta_t, interpret=True)
+    out = np.asarray(f(jnp.asarray(val), jnp.asarray(x)))
+    ref = _dense_ref(row, col, val, n, x)
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(out - ref).max() / scale < 1e-5
+
+
+def test_dynamic_grads_match_autodiff_in_val_and_x():
+    n, nnz, d = 260, 3000, 48
+    row, col, _ = _random_coo(n, nnz, seed=31)
+    val = jnp.asarray(np.random.RandomState(32).rand(nnz).astype(np.float32))
+    x = jnp.asarray(np.random.RandomState(33).randn(n, d).astype(np.float32))
+    meta, meta_t = metas_from_coo(row, col, n)
+    f = make_dynamic_csr_spmm(meta, meta_t, interpret=True)
+    adj = build_sparse(row, col, np.asarray(val), n)
+    # XLA reference differentiates through gather+segment_sum; its edges
+    # are row-sorted, so map val through the same permutation
+    order = np.argsort(row, kind="stable")
+
+    def ref_fn(v, xx):
+        vs = v[jnp.asarray(order)]
+        gathered = vs[:, None] * xx[adj.col]
+        y = jax.ops.segment_sum(gathered, adj.row, num_segments=n,
+                                indices_are_sorted=True)
+        return jnp.sum(jnp.tanh(y))
+
+    gv, gx = jax.grad(lambda v, xx: jnp.sum(jnp.tanh(f(v, xx))),
+                      argnums=(0, 1))(val, x)
+    gv_ref, gx_ref = jax.grad(ref_fn, argnums=(0, 1))(val, x)
+    for a, b in ((gv, gv_ref), (gx, gx_ref)):
+        scale = float(jnp.abs(b).max()) + 1e-9
+        assert float(jnp.abs(a - b).max()) / scale < 1e-5
+
+
+def test_dynamic_meta_as_jit_argument():
+    """ChunkMeta is a pytree: metas pass through jit boundaries as
+    arguments (the AliNet step-arg pattern for 100K-scale adjacencies)."""
+    n, nnz, d = 300, 2500, 32
+    row, col, _ = _random_coo(n, nnz, seed=41)
+    val = np.random.RandomState(42).rand(nnz).astype(np.float32)
+    x = np.random.RandomState(43).randn(n, d).astype(np.float32)
+    meta, meta_t = metas_from_coo(row, col, n)
+    meta_d, meta_t_d = meta.device_put(), meta_t.device_put()
+
+    @jax.jit
+    def run(m, mt, v, xx):
+        return dyn_csr_spmm(m, mt, v, xx, True)
+
+    out = np.asarray(run(meta_d, meta_t_d, jnp.asarray(val), jnp.asarray(x)))
+    ref = _dense_ref(row, col, val, n, x)
+    assert np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9) < 1e-5
+
+
+def test_dynamic_blocked_matches_unblocked_fwd_and_grads():
+    """block_chunks mega-chunking (the 100K-scale memory guard) is
+    numerically identical to the one-shot path, incl. both gradients."""
+    n, nnz, d = 900, 12000, 40
+    row, col, _ = _random_coo(n, nnz, seed=61, empty_stride=9)
+    val = jnp.asarray(np.random.RandomState(62).rand(len(row))
+                      .astype(np.float32))
+    x = jnp.asarray(np.random.RandomState(63).randn(n, d).astype(np.float32))
+    S = 4
+    meta, meta_t = metas_from_coo(row, col, n, pad_chunks_to=S)
+    f_blk = make_dynamic_csr_spmm(meta, meta_t, interpret=True,
+                                  block_chunks=S)
+    f_one = make_dynamic_csr_spmm(meta, meta_t, interpret=True)
+    out_b = np.asarray(f_blk(val, x))
+    out_1 = np.asarray(f_one(val, x))
+    assert np.abs(out_b - out_1).max() < 1e-5
+
+    gv_b, gx_b = jax.grad(lambda v, xx: jnp.sum(jnp.sin(f_blk(v, xx))),
+                          argnums=(0, 1))(val, x)
+    gv_1, gx_1 = jax.grad(lambda v, xx: jnp.sum(jnp.sin(f_one(v, xx))),
+                          argnums=(0, 1))(val, x)
+    assert float(jnp.abs(gv_b - gv_1).max()) < 1e-5
+    assert float(jnp.abs(gx_b - gx_1).max()) < 1e-5
+
+
+def test_chunk_meta_slots_are_a_bijection_onto_real_edges():
+    n, nnz = 500, 9000
+    row, col, _ = _random_coo(n, nnz, seed=51)
+    meta = build_chunk_meta(row, col, n)
+    slots = np.asarray(meta.slots)
+    assert len(np.unique(slots)) == nnz            # injective
+    # each slot's col matches its original edge's col
+    assert np.array_equal(np.asarray(meta.col)[slots], col)

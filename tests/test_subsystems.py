@@ -84,6 +84,7 @@ def test_log_statistics_parse_and_csv(tmp_path):
     assert os.path.exists(out)
 
 
+@pytest.mark.slow
 def test_cli_test_mode(tmp_path):
     """full run then `test` mode re-evaluates the saved embeddings."""
     from openea_tpu.data.synthetic import write_kg_pair_folder
@@ -111,6 +112,7 @@ def test_cli_test_mode(tmp_path):
     assert main([str(pf), "SYN", "721_5fold/1/", "rev"]) == 0
 
 
+@pytest.mark.slow
 def test_experiment_re_evaluate(tmp_path):
     """Save a run, re-evaluate with inner/CSLS/MCD + hubness + stable."""
     from openea_tpu.data.synthetic import write_kg_pair_folder
@@ -203,6 +205,7 @@ def test_csv_to_latex_and_degree_intervals(tmp_path):
     assert out and all(acc == 1.0 for acc, _ in out.values())
 
 
+@pytest.mark.slow
 def test_main_with_args_cli(tmp_path):
     from openea_tpu.data.synthetic import write_kg_pair_folder
     from openea_tpu.cli.main_with_args import main
@@ -242,6 +245,7 @@ def test_predict_works_for_gnn_models(tmp_path):
     assert all(isinstance(u, str) for u, _, _ in out[:5])
 
 
+@pytest.mark.slow
 def test_same_seed_same_results():
     """Full determinism: two runs with one seed produce identical params."""
     from tests.test_models_e2e import make_kgs, run_model
