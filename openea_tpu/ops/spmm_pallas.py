@@ -123,7 +123,19 @@ def build_spmm_plan(row: np.ndarray, col: np.ndarray, val: np.ndarray,
     )
 
 
-def _segsum_kernel(win_ref, first_ref, val_ref, rowloc_ref, p_ref, out_ref):
+_PRECISIONS = {
+    # HIGHEST: multi-pass f32 on the MXU — exact vs segment_sum (5e-7),
+    # the right default for precomputed-weight GNN adjacencies.
+    "highest": jax.lax.Precision.HIGHEST,
+    # DEFAULT: one bf16 pass, f32 accumulate — ~2e-3 rel err, up to 6x
+    # faster matmul; right for learned attention aggregations.  (HIGH /
+    # bf16x3 is not supported by the Mosaic kernel lowering.)
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _segsum_kernel(win_ref, first_ref, val_ref, rowloc_ref, p_ref, out_ref,
+                   *, precision):
     i = pl.program_id(0)
 
     @pl.when(first_ref[i] == 1)
@@ -134,18 +146,17 @@ def _segsum_kernel(win_ref, first_ref, val_ref, rowloc_ref, p_ref, out_ref):
     v = val_ref[0].reshape(1, EC)                  # [1, EC]
     sel = (jax.lax.broadcasted_iota(jnp.int32, (TM, EC), 0)
            == rl).astype(jnp.float32)
-    s = sel * v                                    # val-scaled one-hot
-    # HIGHEST: multi-pass f32 on the MXU — a single bf16 pass rounds the
-    # gathered features to ~3 digits (2e-3 rel err vs segment_sum)
+    s = (sel * v).astype(p_ref.dtype)              # val-scaled one-hot
     out_ref[:] += jnp.dot(s, p_ref[:], preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=_PRECISIONS[precision])
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "n_windows",
-                                             "interpret"))
+                                             "interpret", "precision"))
 def _sorted_segment_matmul(val, rowloc, window, first, p,
                            n_rows: int, n_windows: int,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           precision: str = "highest"):
     nc = window.shape[0]
     d = p.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -163,7 +174,7 @@ def _sorted_segment_matmul(val, rowloc, window, first, p,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        _segsum_kernel,
+        functools.partial(_segsum_kernel, precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_windows * TM, d), jnp.float32),
         interpret=interpret,
@@ -231,19 +242,20 @@ class ChunkMeta:
     (at 100K-scale 2-hop adjacencies the three index arrays are ~80 MB
     each — constant-embedding them would bloat every step executable)."""
 
-    def __init__(self, col, rowloc, window, first, slots,
+    def __init__(self, col, rowloc, window, first, slots, inv_slots,
                  n_rows: int, n_windows: int):
         self.col = col          # [NC*EC] gather indices (pad -> 0)
         self.rowloc = rowloc    # [NC, 8, EC//8]
         self.window = window    # [NC]
         self.first = first      # [NC]
         self.slots = slots      # [nnz] input-edge -> flat chunk slot
+        self.inv_slots = inv_slots  # [NC*EC] slot -> input edge (pad -> nnz)
         self.n_rows = n_rows
         self.n_windows = n_windows
 
     def tree_flatten(self):
         return ((self.col, self.rowloc, self.window, self.first,
-                 self.slots), (self.n_rows, self.n_windows))
+                 self.slots, self.inv_slots), (self.n_rows, self.n_windows))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -254,7 +266,7 @@ class ChunkMeta:
         ARGUMENT, so it is not re-uploaded every call)."""
         return ChunkMeta(*(jnp.asarray(a) for a in
                            (self.col, self.rowloc, self.window, self.first,
-                            self.slots)),
+                            self.slots, self.inv_slots)),
                          self.n_rows, self.n_windows)
 
 
@@ -303,13 +315,17 @@ def build_chunk_meta(row: np.ndarray, col: np.ndarray, n_rows: int,
 
     slots = np.zeros(nnz, np.int64)
     slots[order] = slot_sorted
+    # slot -> original edge (pad slots -> nnz: callers append one zero)
+    inv = np.full(nc_pad * EC, nnz, np.int64)
+    inv[slot_sorted] = order
     return ChunkMeta(col=col_p, rowloc=rowloc_p.reshape(nc_pad, 8, EC // 8),
                      window=window_p, first=first_p,
                      slots=slots.astype(np.int32),
+                     inv_slots=inv.astype(np.int32),
                      n_rows=n_rows, n_windows=n_windows)
 
 
-def _sddmm_kernel(win_ref, rowloc_ref, p_ref, g_ref, out_ref):
+def _sddmm_kernel(win_ref, rowloc_ref, p_ref, g_ref, out_ref, *, precision):
     """Per-edge <g[row_e], p_e> for one chunk: M = g @ p^T on the MXU
     ([TM, EC] = every window row x every edge), then mask with the row
     one-hot and reduce over sublanes — Mosaic-friendly layouts only (a
@@ -320,13 +336,15 @@ def _sddmm_kernel(win_ref, rowloc_ref, p_ref, g_ref, out_ref):
            == rl).astype(jnp.float32)
     m = jax.lax.dot_general(g_ref[:], p_ref[:], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)  # [TM, EC]
+                            precision=_PRECISIONS[precision])      # [TM, EC]
     out_ref[:] = jnp.sum(sel * m, axis=0, keepdims=True)[None]    # (1,1,EC)
 
 
-@functools.partial(jax.jit, static_argnames=("n_windows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_windows", "interpret",
+                                             "precision"))
 def _sorted_segment_sddmm(rowloc, window, p, g, n_windows: int,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          precision: str = "highest"):
     nc = window.shape[0]
     d = p.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -344,7 +362,7 @@ def _sorted_segment_sddmm(rowloc, window, p, g, n_windows: int,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        _sddmm_kernel,
+        functools.partial(_sddmm_kernel, precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nc, 1, EC), jnp.float32),
         interpret=interpret,
@@ -353,23 +371,29 @@ def _sorted_segment_sddmm(rowloc, window, p, g, n_windows: int,
 
 
 def _scatter_val(m: ChunkMeta, val):
+    """val [nnz] in original edge order -> chunk layout [NC, 8, EC//8].
+    A GATHER via inv_slots (pad slots read the appended zero) — gathers
+    are ~2x cheaper than the equivalent scatter on TPU."""
     n_chunks = m.window.shape[0]
-    flat = jnp.zeros((n_chunks * EC,), jnp.float32)
-    flat = flat.at[jnp.asarray(m.slots)].set(val.astype(jnp.float32))
-    return flat.reshape(n_chunks, 8, EC // 8)
+    val_ext = jnp.concatenate([val.astype(jnp.float32),
+                               jnp.zeros((1,), jnp.float32)])
+    return val_ext[jnp.asarray(m.inv_slots)].reshape(n_chunks, 8, EC // 8)
 
 
-def _pad_lanes(x):
+def _pad_lanes(x, precision="highest"):
+    """Pad features to a lane multiple; under 'default' precision cast to
+    bf16 BEFORE the [nnz, d] gather — the gather dominates HBM traffic,
+    so half-width features halve the kernel's memory bill."""
     d0 = x.shape[1]
     d = -(-d0 // _LANE) * _LANE
-    xp = x.astype(jnp.float32)
+    xp = x.astype(jnp.bfloat16 if precision == "default" else jnp.float32)
     if d != d0:
         xp = jnp.pad(xp, ((0, 0), (0, d - d0)))
     return xp
 
 
 def _blocked_segment_matmul(meta: ChunkMeta, val_c, xp, S: int,
-                            interpret: bool):
+                            interpret: bool, precision: str = "highest"):
     """Mega-chunked A @ x: scan over groups of S chunks so only
     [S*EC, d] of gathered features materializes at once (at 100K-scale
     attention adjacencies the full gather would be tens of GB).  Each
@@ -395,7 +419,8 @@ def _blocked_segment_matmul(meta: ChunkMeta, val_c, xp, S: int,
         w0 = w[0]
         p = xp[c]
         mega = _sorted_segment_matmul(v, rl, w - w0, f, p, W * TM, W,
-                                      interpret=interpret)
+                                      interpret=interpret,
+                                      precision=precision)
         # blocks past the last visited window hold uninitialized memory
         mega = jnp.where(row_ids < (w[-1] - w0 + 1) * TM, mega, 0.0)
         seg = jax.lax.dynamic_slice(out, (w0 * TM, 0), (W * TM, d))
@@ -407,18 +432,19 @@ def _blocked_segment_matmul(meta: ChunkMeta, val_c, xp, S: int,
     return out
 
 
-def _dyn_forward(meta, val, x, interpret, block_chunks):
+def _dyn_forward(meta, val, x, interpret, block_chunks, precision):
     d0 = x.shape[1]
-    xp = _pad_lanes(x)
+    xp = _pad_lanes(x, precision)
     val_c = _scatter_val(meta, val)
     if block_chunks and meta.window.shape[0] > block_chunks:
         out = _blocked_segment_matmul(meta, val_c, xp, block_chunks,
-                                      interpret)
+                                      interpret, precision)
     else:
         p = xp[jnp.asarray(meta.col)]
         out = _sorted_segment_matmul(
             val_c, jnp.asarray(meta.rowloc), meta.window, meta.first, p,
-            meta.n_rows, meta.n_windows, interpret=interpret)
+            meta.n_rows, meta.n_windows, interpret=interpret,
+            precision=precision)
     return out[:meta.n_rows, :d0]
 
 
@@ -427,7 +453,8 @@ def _float0_zeros(tree):
         lambda a: np.zeros(np.shape(a), jax.dtypes.float0), tree)
 
 
-def _blocked_sddmm(meta: ChunkMeta, xp, gp, S: int, interpret: bool):
+def _blocked_sddmm(meta: ChunkMeta, xp, gp, S: int, interpret: bool,
+                   precision: str = "highest"):
     """Mega-chunked dval_e = <g[row_e], x[col_e]> (see
     _blocked_segment_matmul for the memory rationale)."""
     NC = meta.window.shape[0]
@@ -447,15 +474,17 @@ def _blocked_sddmm(meta: ChunkMeta, xp, gp, S: int, interpret: bool):
         p = xp[c]
         gseg = jax.lax.dynamic_slice(gw, (w0 * TM, 0), (W * TM, d))
         return None, _sorted_segment_sddmm(rl, w - w0, p, gseg, W,
-                                           interpret=interpret)
+                                           interpret=interpret,
+                                           precision=precision)
 
     _, dval = jax.lax.scan(body, None, (win_m, cols_m, rowloc_m))
     return dval.reshape(NC * EC)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def dyn_csr_spmm(meta: ChunkMeta, meta_t: ChunkMeta, val, x,
-                 interpret: bool = False, block_chunks: int = 0):
+                 interpret: bool = False, block_chunks: int = 0,
+                 precision: str = "highest"):
     """Differentiable ``y = A(val) @ x`` for a FIXED sparsity structure
     with TRACED per-edge values (attention weights; reference
     alinet.py:674-676's softmax-weighted aggregation).
@@ -470,40 +499,44 @@ def dyn_csr_spmm(meta: ChunkMeta, meta_t: ChunkMeta, val, x,
     ``val`` is in the ORIGINAL edge order given to build_chunk_meta.
     ``block_chunks``: process S chunks at a time (metas must be built
     with pad_chunks_to=S) so only [S*EC, d] of gathered features lives at
-    once — required at multi-million-edge scale."""
-    return _dyn_forward(meta, val, x, interpret, block_chunks)
+    once — required at multi-million-edge scale.
+    ``precision``: MXU pass count — 'highest' (f32-exact) or 'default'
+    (one bf16 pass, f32 accumulate, ~2e-3 rel err)."""
+    return _dyn_forward(meta, val, x, interpret, block_chunks, precision)
 
 
-def _dyn_fwd(meta, meta_t, val, x, interpret, block_chunks):
-    return (_dyn_forward(meta, val, x, interpret, block_chunks),
+def _dyn_fwd(meta, meta_t, val, x, interpret, block_chunks, precision):
+    return (_dyn_forward(meta, val, x, interpret, block_chunks, precision),
             (meta, meta_t, val, x))
 
 
-def _dyn_bwd(interpret, block_chunks, res, g):
+def _dyn_bwd(interpret, block_chunks, precision, res, g):
     meta, meta_t, val, x = res
     d0 = x.shape[1]
-    gp = _pad_lanes(g)
-    xp = _pad_lanes(x)
+    gp = _pad_lanes(g, precision)
+    xp = _pad_lanes(x, precision)
     # dx = A^T @ g  (transpose structure, same traced values)
     val_t = _scatter_val(meta_t, val)
     if block_chunks and meta_t.window.shape[0] > block_chunks:
         dx = _blocked_segment_matmul(meta_t, val_t, gp, block_chunks,
-                                     interpret)[:meta_t.n_rows, :d0]
+                                     interpret,
+                                     precision)[:meta_t.n_rows, :d0]
     else:
         pt = gp[jnp.asarray(meta_t.col)]
         dx = _sorted_segment_matmul(
             val_t, jnp.asarray(meta_t.rowloc), meta_t.window, meta_t.first,
-            pt, meta_t.n_rows, meta_t.n_windows,
-            interpret=interpret)[:meta_t.n_rows, :d0]
+            pt, meta_t.n_rows, meta_t.n_windows, interpret=interpret,
+            precision=precision)[:meta_t.n_rows, :d0]
     # dval_e = <g[row_e], x[col_e]>: SDDMM over the forward layout
     if block_chunks and meta.window.shape[0] > block_chunks:
-        dval_chunks = _blocked_sddmm(meta, xp, gp, block_chunks, interpret)
+        dval_chunks = _blocked_sddmm(meta, xp, gp, block_chunks, interpret,
+                                     precision)
     else:
         p = xp[jnp.asarray(meta.col)]
         gw = jnp.pad(gp, ((0, meta.n_windows * TM - gp.shape[0]), (0, 0)))
         dval_chunks = _sorted_segment_sddmm(
             jnp.asarray(meta.rowloc), meta.window, p, gw,
-            meta.n_windows, interpret=interpret)
+            meta.n_windows, interpret=interpret, precision=precision)
     dval = dval_chunks[jnp.asarray(meta.slots)].astype(val.dtype)
     return (_float0_zeros(meta), _float0_zeros(meta_t), dval,
             dx.astype(x.dtype))
@@ -513,10 +546,11 @@ dyn_csr_spmm.defvjp(_dyn_fwd, _dyn_bwd)
 
 
 def make_dynamic_csr_spmm(meta: ChunkMeta, meta_t: ChunkMeta,
-                          interpret: bool = False, block_chunks: int = 0):
+                          interpret: bool = False, block_chunks: int = 0,
+                          precision: str = "highest"):
     """Closure form of dyn_csr_spmm for small static structures."""
     return lambda val, x: dyn_csr_spmm(meta, meta_t, val, x, interpret,
-                                       block_chunks)
+                                       block_chunks, precision)
 
 
 def metas_from_coo(row: np.ndarray, col: np.ndarray, n_rows: int,

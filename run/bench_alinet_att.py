@@ -3,7 +3,7 @@ segment-sum path, 15K-shaped synthetic data, preset dims [500,400,300]."""
 import os, time, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_scratch")  # keep repo cache bench-only
 import jax
 import jax.numpy as jnp
 from openea_tpu.config import Args

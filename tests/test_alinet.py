@@ -81,6 +81,7 @@ def test_alinet_augmentation_path():
     assert isinstance(model.new_links, set)
 
 
+@pytest.mark.slow
 def test_alinet_attention_pallas_wiring_matches_xla():
     """The dyn_csr_spmm attention path (TPU) must equal the segment-sum
     path bit-for-bit-ish, INCLUDING the edge-order contract between adj2
@@ -105,6 +106,7 @@ def test_alinet_attention_pallas_wiring_matches_xla():
     model.set_kgs(kgs)
     model.init()
     assert model._att_metas is None          # cpu backend -> XLA path
+    model.args.att_precision = "highest"     # f32-exact for the parity check
 
     S = 4
     meta, meta_t = metas_from_coo(np.asarray(model.adj2.row),
@@ -134,3 +136,12 @@ def test_alinet_attention_pallas_wiring_matches_xla():
         scale = float(jnp.abs(g_xla[name]).max()) + 1e-9
         derr = float(jnp.abs(g_pal[name] - g_xla[name]).max()) / scale
         assert derr < 1e-4, (name, derr)
+
+    # 'default' precision (bf16 gathers + one MXU pass) stays within
+    # bf16 rounding of the exact path
+    model.args.att_precision = "default"
+    with pltpu.force_tpu_interpret_mode():
+        out_bf16 = model._attention(model.params, 0, x, model.adj2,
+                                    (meta, meta_t))
+    err_bf = float(jnp.abs(out_bf16 - out_xla).max())
+    assert err_bf < 3e-2, err_bf
