@@ -102,22 +102,36 @@ def sharded_spmm(mesh: Mesh, sadj: ShardedAdj, x: jax.Array) -> jax.Array:
 class BoundaryPlan:
     """Host-precomputed exchange plan for ``boundary_spmm``.
 
+    Edges whose source row lives on the destination shard ("local") are
+    gathered straight from the resident feature block; ONLY remote
+    boundary rows ride the all_to_all.  `r` is therefore the max unique
+    remote sources per (dest, src≠dest) pair — with a locality-aware
+    entity ordering this shrinks with the cut size, which is the whole
+    point of the exchange.
+
     row_starts [S+1]   — contiguous global row range per shard (nnz-balanced)
     mr                 — max rows owned by any shard (row padding)
-    row_local [S, Ep]  — destination row local to its shard (pad -> 0, val 0)
-    col_buf   [S, Ep]  — edge source position in the flat receive buffer
-                         (owner_shard * r + slot)
-    val       [S, Ep]  — edge weight (0 for padding)
+    row_loc  [S, Epl]  — local-edge destination row, local ids (pad -> 0)
+    col_loc  [S, Epl]  — local-edge source row, local ids
+    val_loc  [S, Epl]  — local-edge weight (0 for padding)
+    row_local [S, Ep]  — remote-edge destination row, local ids
+    col_buf   [S, Ep]  — remote-edge source position in the flat receive
+                         buffer (owner_shard * r + slot)
+    val       [S, Ep]  — remote-edge weight (0 for padding)
     send_idx  [S, S, r]— rows (local to the SOURCE shard) each shard sends
                          to each destination; slot-aligned with col_buf
     in_map    [S*mr]   — global row feeding each padded x slot (N for pad)
     out_map   [N]      — padded slot holding each global output row
     """
 
-    def __init__(self, row_starts, mr, row_local, col_buf, val, send_idx,
+    def __init__(self, row_starts, mr, row_loc, col_loc, val_loc,
+                 row_local, col_buf, val, send_idx,
                  in_map, out_map, n_rows, r):
         self.row_starts = row_starts
         self.mr = mr
+        self.row_loc = row_loc
+        self.col_loc = col_loc
+        self.val_loc = val_loc
         self.row_local = row_local
         self.col_buf = col_buf
         self.val = val
@@ -151,32 +165,52 @@ def plan_boundary_exchange(adj: SparseAdj, n_shards: int) -> BoundaryPlan:
     shard_of_edge = owner_of_row[row]
     col_owner = owner_of_row[col]
 
-    # per (dest, src) unique boundary rows + per-edge slot
+    # split edges into local (source resident on dest shard) and remote;
+    # remote: per (dest, src) unique boundary rows + per-edge slot
     reqs = [[None] * S for _ in range(S)]
     ep = 1
+    epl = 1
     r = 1
     edge_data = []
     for d in range(S):
         m = shard_of_edge == d
         ed_row, ed_col, ed_val, ed_owner = row[m], col[m], val[m], col_owner[m]
-        slots = np.zeros(ed_col.shape[0], np.int64)
+        loc = ed_owner == d
+        rem = ~loc
+        rrow, rcol, rval, rowner = (ed_row[rem], ed_col[rem], ed_val[rem],
+                                    ed_owner[rem])
+        slots = np.zeros(rcol.shape[0], np.int64)
         for s in range(S):
-            ms = ed_owner == s
-            uniq, inv = np.unique(ed_col[ms], return_inverse=True)
+            if s == d:
+                reqs[d][s] = np.zeros(0, np.int64)
+                continue
+            ms = rowner == s
+            uniq, inv = np.unique(rcol[ms], return_inverse=True)
             reqs[d][s] = uniq - row_starts[s]        # local to source shard
             slots[ms] = inv
             r = max(r, len(uniq))
-        ep = max(ep, int(m.sum()))
-        edge_data.append((ed_row - row_starts[d], ed_owner, slots, ed_val))
+        ep = max(ep, int(rem.sum()))
+        epl = max(epl, int(loc.sum()))
+        edge_data.append((
+            ed_row[loc] - row_starts[d], ed_col[loc] - row_starts[d],
+            ed_val[loc],
+            rrow - row_starts[d], rowner, slots, rval))
 
+    row_loc = np.zeros((S, epl), np.int32)
+    col_loc = np.zeros((S, epl), np.int32)
+    val_loc = np.zeros((S, epl), np.float32)
     row_local = np.zeros((S, ep), np.int32)
     col_buf = np.zeros((S, ep), np.int32)
     val_p = np.zeros((S, ep), np.float32)
     send_idx = np.zeros((S, S, r), np.int32)
     for d in range(S):
-        lr, owner, slots, v = edge_data[d]
-        k = lr.shape[0]
-        row_local[d, :k] = lr
+        lrow, lcol, lval, rr, owner, slots, v = edge_data[d]
+        kl = lrow.shape[0]
+        row_loc[d, :kl] = lrow
+        col_loc[d, :kl] = lcol
+        val_loc[d, :kl] = lval
+        k = rr.shape[0]
+        row_local[d, :k] = rr
         col_buf[d, :k] = owner * r + slots
         val_p[d, :k] = v
         for s in range(S):
@@ -192,7 +226,9 @@ def plan_boundary_exchange(adj: SparseAdj, n_shards: int) -> BoundaryPlan:
         in_map[s * mr: s * mr + k] = sl
         in_valid[s * mr: s * mr + k] = 1.0
         out_map[sl] = s * mr + np.arange(k)
-    plan = BoundaryPlan(row_starts, mr, jnp.asarray(row_local),
+    plan = BoundaryPlan(row_starts, mr, jnp.asarray(row_loc),
+                        jnp.asarray(col_loc), jnp.asarray(val_loc),
+                        jnp.asarray(row_local),
                         jnp.asarray(col_buf), jnp.asarray(val_p),
                         jnp.asarray(send_idx), jnp.asarray(in_map),
                         jnp.asarray(out_map), n, r)
@@ -210,17 +246,23 @@ def boundary_spmm(mesh: Mesh, plan: BoundaryPlan, x: jax.Array) -> jax.Array:
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P("x", None), P("x", None), P("x", None),
+                       P("x", None), P("x", None), P("x", None),
                        P("x", None), P("x", None, None)),
              out_specs=P("x", None))
-    def run(xs, row_l, col_b, vals, send):
+    def run(xs, row_ll, col_ll, val_ll, row_l, col_b, vals, send):
+        # local edges read the resident block directly — no collective
+        loc = val_ll[0][:, None] * xs[col_ll[0]]
+        out = jax.ops.segment_sum(loc, row_ll[0], num_segments=mr)
         # xs [mr, d]; send[0] [S, r]: rows THIS shard sends to each dest
         buf = xs[send[0]]                               # [S, r, d]
         recv = jax.lax.all_to_all(buf, "x", split_axis=0, concat_axis=0,
                                   tiled=False)          # [S, r, d]
         flat = recv.reshape(S * r, -1)
         gathered = vals[0][:, None] * flat[col_b[0]]
-        return jax.ops.segment_sum(gathered, row_l[0], num_segments=mr)
+        return out + jax.ops.segment_sum(gathered, row_l[0],
+                                         num_segments=mr)
 
-    out = jax.jit(run)(xp, plan.row_local, plan.col_buf, plan.val,
+    out = jax.jit(run)(xp, plan.row_loc, plan.col_loc, plan.val_loc,
+                       plan.row_local, plan.col_buf, plan.val,
                        plan.send_idx)
     return out.reshape(S * mr, -1)[plan.out_map]

@@ -42,8 +42,17 @@ def main():
     deg = np.clip((1.0 / rng.power(0.45, n)).astype(np.int64), 1, 1000)
     deg = (deg * (avg_deg * n / deg.sum())).astype(np.int64)
     deg = np.maximum(deg, 1)
+    locality = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
     rows = np.repeat(np.arange(n), deg).astype(np.int32)
     cols = rng.randint(0, n, rows.shape[0]).astype(np.int32)
+    if locality > 0:
+        # partitioned-for-locality graph: a `locality` fraction of edges
+        # point inside the row's own 8-way block (what a min-cut entity
+        # reordering buys in production; random cols are the worst case)
+        blk = n // 8
+        local = rng.rand(rows.shape[0]) < locality
+        cols[local] = ((rows[local] // blk) * blk
+                       + rng.randint(0, blk, int(local.sum()))).astype(np.int32)
     vals = rng.rand(rows.shape[0]).astype(np.float32)
     nnz = rows.shape[0]
     adj = build_sparse(rows, cols, vals, n)
@@ -68,7 +77,9 @@ def main():
         sadj = partition_adj(adj, n_dev)
         g_s = timeit(lambda: sharded_spmm(mesh, sadj, x))
         vol_gather = n * dim * 4 / 1e6
-        vol_bound = n_dev * plan.r * dim * 4 / 1e6
+        # self-block of the all_to_all stays on-device; ICI volume is
+        # the (S-1) remote blocks of r padded boundary rows each
+        vol_bound = (n_dev - 1) * plan.r * dim * 4 / 1e6
         eff_b = base_s / b_s / n_dev
         print(f"{n_dev} dev: boundary {b_s*1e3:.1f} ms "
               f"({nnz/b_s/1e6:.1f} M e/s, eff {eff_b*100:.0f}%, "

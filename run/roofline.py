@@ -116,12 +116,14 @@ def main(argv=None):
     # write out [n,d] — f32
     spmm_bytes = 4 * (n * d + nnz * d + n * d)
 
+    # adjacency/metas as jit ARGS: device-array closures become HLO
+    # constants (tunnel compile-request blowup / duplicate HBM buffers)
     adj = build_sparse(row, col, val, n)
-    f_xla = jax.jit(lambda xx: spmm(adj, xx))
-    report("spmm fwd (XLA segment-sum)", timeit(f_xla, xj),
+    f_xla = jax.jit(lambda a, xx: spmm(a, xx))
+    report("spmm fwd (XLA segment-sum)", timeit(f_xla, adj, xj),
            edges=nnz, bytes_moved=spmm_bytes)
-    g_xla = jax.jit(jax.grad(lambda xx: jnp.sum(jnp.tanh(spmm(adj, xx)))))
-    report("spmm fwd+bwd (XLA segment-sum)", timeit(g_xla, xj),
+    g_xla = jax.jit(jax.grad(lambda xx, a: jnp.sum(jnp.tanh(spmm(a, xx)))))
+    report("spmm fwd+bwd (XLA segment-sum)", timeit(g_xla, xj, adj),
            edges=2 * nnz, bytes_moved=2 * spmm_bytes)
 
     if on_tpu:
@@ -137,24 +139,41 @@ def main(argv=None):
         meta, meta_t = metas_from_coo(row, col, n, pad_chunks_to=S)
         meta, meta_t = meta.device_put(), meta_t.device_put()
         vj = jnp.asarray(val)
-        f_dyn = jax.jit(lambda v, xx: dyn_csr_spmm(meta, meta_t, v, xx,
-                                                   False, S))
-        report("dyn spmm fwd (Pallas, traced val)", timeit(f_dyn, vj, xj),
+        f_dyn = jax.jit(lambda m, mt, v, xx: dyn_csr_spmm(m, mt, v, xx,
+                                                          False, S))
+        report("dyn spmm fwd (Pallas, traced val)",
+               timeit(f_dyn, meta, meta_t, vj, xj),
                edges=nnz, bytes_moved=spmm_bytes)
         g_dyn = jax.jit(jax.grad(
-            lambda v, xx: jnp.sum(jnp.tanh(f_dyn(v, xx))), argnums=(0, 1)))
+            lambda v, xx, m, mt: jnp.sum(jnp.tanh(
+                dyn_csr_spmm(m, mt, v, xx, False, S))), argnums=(0, 1)))
         # bwd adds the SDDMM pass: one more [nnz, d] read + gather
-        report("dyn spmm fwd+bwd+sddmm (Pallas)", timeit(g_dyn, vj, xj),
+        report("dyn spmm fwd+bwd+sddmm (Pallas)",
+               timeit(g_dyn, vj, xj, meta, meta_t),
                edges=3 * nnz, bytes_moved=3 * spmm_bytes)
 
-    # eval similarity matmul (compute-bound) + blocked exact rank
+    # eval similarity matmul (compute-bound) + blocked exact rank;
+    # blocked like the real eval path — the full [n_test, n_cand] sim
+    # matrix is 8.4 GB at 100K and must never materialize
     rng = np.random.RandomState(1)
-    e1 = jnp.asarray(rng.randn(n_test, d).astype(np.float32))
+    BLK = 4096
+    pad_r = (-n_test) % BLK
+    e1 = jnp.asarray(np.pad(rng.randn(n_test, d).astype(np.float32),
+                            ((0, pad_r), (0, 0))))
     e2 = jnp.asarray(rng.randn(n_cand, d).astype(np.float32))
-    f_sim = jax.jit(lambda a, b: a @ b.T)
-    report("eval similarity matmul", timeit(f_sim, e1, e2),
-           flops=2.0 * n_test * n_cand * d,
-           bytes_moved=4 * (n_test * d + n_cand * d + n_test * n_cand))
+
+    @jax.jit
+    def f_sim(a, b):
+        def body(_, blk):
+            return None, jnp.max(blk @ b.T, axis=1)
+        _, m = jax.lax.scan(body, None, a.reshape(-1, BLK, a.shape[1]))
+        return m
+
+    n_blocks = (n_test + pad_r) // BLK
+    report("eval similarity matmul (blocked)", timeit(f_sim, e1, e2),
+           flops=2.0 * (n_test + pad_r) * n_cand * d,
+           bytes_moved=4 * ((n_test + pad_r) * d + n_blocks * n_cand * d))
+    e1 = e1[:n_test]
 
     gold = jnp.arange(n_test, dtype=jnp.int32)
 
