@@ -111,25 +111,85 @@ class GCN_Align(BasicModel):
         self.opt = optax.sgd(a.learning_rate)
         self.opt_state = self.opt.init(self.params)
         self._train_links = np.asarray(self.kgs.train_links_array, np.int32)
-        # TPU: Pallas sorted-segment SpMM (adjacency weights are constants
-        # here, so the no-val-grad Pallas path is exact)
-        self._spmm_adj = spmm_fn(self.adj)
-        self._spmm_attr = (spmm_fn(self.attr_sp, n_cols=a_num)
-                           if self.attr_sp is not None else None)
+        if a.get("use_mesh") and len(jax.devices()) > 1:
+            self._setup_mesh_gnn()
+        else:
+            # TPU: Pallas sorted-segment SpMM (adjacency weights are
+            # constants here, so the no-val-grad Pallas path is exact)
+            self._spmm_adj = spmm_fn(self.adj)
+            self._spmm_attr = (spmm_fn(self.attr_sp, n_cols=a_num)
+                               if self.attr_sp is not None else None)
         self._step_fn = self._make_step_fn()
+
+    # ------------------------------------------------------------------ #
+    # multi-chip: full-graph mesh training (BASELINE.md north star).  The
+    # adjacency is edge-partitioned into nnz-balanced contiguous row
+    # ranges; each layer's SpMM exchanges only boundary-entity rows via
+    # one all_to_all (parallel/spmm_sharded.boundary_spmm_padded), the
+    # node-feature table w_se lives row-sharded in the shard-major padded
+    # layout, and the attribute incidence runs shard-local against the
+    # replicated [a_num, ae_dim] weight.  The reference trains this model
+    # on one pinned GPU (run/run_15K.sh:96) — this axis is new capability.
+    # ------------------------------------------------------------------ #
+
+    def _setup_mesh_gnn(self):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from openea_tpu.parallel.spmm_sharded import (
+            plan_boundary_exchange, pad_rows, partition_by_plan)
+        devs = jax.devices()
+        n = int(self.args.get("mesh_devices") or 0) or len(devs)
+        self.mesh = Mesh(np.asarray(devs[:n]), ("x",))
+        self._plan = plan_boundary_exchange(self.adj, n)
+        shard = NamedSharding(self.mesh, P("x", None))
+        # w_se (the node-feature table) moves to the padded layout
+        self.params["w_se"] = jax.device_put(
+            pad_rows(self._plan, self.params["w_se"]), shard)
+        if "w_ae" in self.params:
+            self.params["w_ae"] = jax.device_put(
+                self.params["w_ae"], NamedSharding(self.mesh, P()))
+        self.opt_state = self.opt.init(self.params)
+        self._attr_parts = (partition_by_plan(self.attr_sp, self._plan)
+                            if self.attr_sp is not None else None)
+        # loss gathers address padded slots: remap once on host
+        out_map = np.asarray(self._plan.out_map)
+        self._train_links = out_map[self._train_links].astype(np.int32)
+        self._out_map_dev = jnp.asarray(out_map)
+        print("mesh training enabled: {} devices, mesh {} (boundary-"
+              "exchange SpMM, r={})".format(self.mesh.size,
+                                            dict(self.mesh.shape),
+                                            self._plan.r))
 
     # ------------------------------------------------------------------ #
     # forward
     # ------------------------------------------------------------------ #
 
     def _forward_se(self, params):
+        if self.mesh is not None:
+            from openea_tpu.parallel.spmm_sharded import boundary_spmm_padded
+            h = jax.nn.relu(
+                boundary_spmm_padded(self.mesh, self._plan, params["w_se"]))
+            return boundary_spmm_padded(self.mesh, self._plan, h)
         h = jax.nn.relu(self._spmm_adj(params["w_se"]))
         return self._spmm_adj(h)
 
     def _forward_ae(self, params):
+        if self.mesh is not None:
+            from openea_tpu.parallel.spmm_sharded import (
+                boundary_spmm_padded, local_spmm_padded)
+            x = local_spmm_padded(self.mesh, self._plan, self._attr_parts,
+                                  params["w_ae"])
+            h = jax.nn.relu(boundary_spmm_padded(self.mesh, self._plan, x))
+            return boundary_spmm_padded(self.mesh, self._plan, h)
         x = self._spmm_attr(params["w_ae"])
         h = jax.nn.relu(self._spmm_adj(x))
         return self._spmm_adj(h)
+
+    def _unpad(self, out):
+        """Padded mesh layout -> global rows (identity off-mesh)."""
+        if self.mesh is None:
+            return out
+        from openea_tpu.parallel.spmm_sharded import unpad_rows
+        return unpad_rows(self._plan, out)
 
     @staticmethod
     def _align_loss(out, links, neg_right, neg2_left, gamma, k):
@@ -188,6 +248,9 @@ class GCN_Align(BasicModel):
         self.key, k1, k2 = jax.random.split(self.key, 3)
         neg_right = jax.random.randint(k1, (t * k,), 0, self.e)
         neg2_left = jax.random.randint(k2, (t * k,), 0, self.e)
+        if self.mesh is not None:
+            neg_right = self._out_map_dev[neg_right]
+            neg2_left = self._out_map_dev[neg2_left]
         return neg_right, neg2_left
 
     def run(self):
@@ -207,9 +270,10 @@ class GCN_Align(BasicModel):
                     self.flag1, self.flag2, flag)
                 if self.early_stop or i == self.args.max_epoch:
                     break
-        self.vec_se = np.asarray(self._forward_se(self.params))
+        self.vec_se = np.asarray(self._unpad(self._forward_se(self.params)))
         if self.attr_sp is not None:
-            self.vec_ae = np.asarray(self._forward_ae(self.params))
+            self.vec_ae = np.asarray(
+                self._unpad(self._forward_ae(self.params)))
         print("Training ends. Total time = {:.3f} s.".format(time.time() - t0))
 
     # ------------------------------------------------------------------ #
@@ -218,9 +282,9 @@ class GCN_Align(BasicModel):
     # ------------------------------------------------------------------ #
 
     def _combined_embeddings(self):
-        se = self._forward_se(self.params)
+        se = self._unpad(self._forward_se(self.params))
         if self.args.get("test_method", "sa") == "sa" and self.attr_sp is not None:
-            ae = self._forward_ae(self.params)
+            ae = self._unpad(self._forward_ae(self.params))
             beta = float(self.args.beta)
             return jnp.concatenate([se * beta, ae * (1.0 - beta)], axis=1)
         return se

@@ -236,13 +236,24 @@ def plan_boundary_exchange(adj: SparseAdj, n_shards: int) -> BoundaryPlan:
     return plan
 
 
-def boundary_spmm(mesh: Mesh, plan: BoundaryPlan, x: jax.Array) -> jax.Array:
-    """out[i] = sum_e val[e] * x[col[e]] with one boundary-entity
-    all_to_all instead of a full all_gather."""
+def pad_rows(plan: BoundaryPlan, x: jax.Array) -> jax.Array:
+    """Global [N, d] -> shard-major padded [S*mr, d] (pad slots zeroed)."""
+    return x[plan.in_map] * plan.in_valid[:, None]
+
+
+def unpad_rows(plan: BoundaryPlan, xp: jax.Array) -> jax.Array:
+    """Shard-major padded [S*mr, d] -> global [N, d]."""
+    return xp[plan.out_map]
+
+
+def boundary_spmm_padded(mesh: Mesh, plan: BoundaryPlan,
+                         xp: jax.Array) -> jax.Array:
+    """Padded-layout boundary SpMM: [S*mr, d] -> [S*mr, d], composable
+    inside an outer jit (chain GCN layers without leaving the shard-major
+    layout).  Padded input slots are never read with nonzero weight;
+    padded output slots come back zero."""
     S = mesh.size
     mr, r = plan.mr, plan.r
-    # shard-major padded layout (pad slots read row 0, masked to 0)
-    xp = x[plan.in_map] * plan.in_valid[:, None]
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P("x", None), P("x", None), P("x", None),
@@ -262,7 +273,57 @@ def boundary_spmm(mesh: Mesh, plan: BoundaryPlan, x: jax.Array) -> jax.Array:
         return out + jax.ops.segment_sum(gathered, row_l[0],
                                          num_segments=mr)
 
-    out = jax.jit(run)(xp, plan.row_loc, plan.col_loc, plan.val_loc,
-                       plan.row_local, plan.col_buf, plan.val,
-                       plan.send_idx)
-    return out.reshape(S * mr, -1)[plan.out_map]
+    return run(xp, plan.row_loc, plan.col_loc, plan.val_loc,
+               plan.row_local, plan.col_buf, plan.val, plan.send_idx)
+
+
+def boundary_spmm(mesh: Mesh, plan: BoundaryPlan, x: jax.Array) -> jax.Array:
+    """out[i] = sum_e val[e] * x[col[e]] with one boundary-entity
+    all_to_all instead of a full all_gather (global row layout in/out)."""
+    out = jax.jit(partial(boundary_spmm_padded, mesh, plan))(
+        pad_rows(plan, x))
+    return unpad_rows(plan, out)
+
+
+def partition_by_plan(adj: SparseAdj, plan: BoundaryPlan):
+    """Split a (possibly rectangular) row-sorted COO by the plan's
+    destination row ranges.  Columns index a REPLICATED source matrix
+    (e.g. the [n_attrs, d] weight of GCN-Align's attribute view), so the
+    local SpMM needs no collective at all.  Returns [S, Ep] padded
+    (row_local, col, val) arrays for ``local_spmm_padded``."""
+    row = np.asarray(adj.row)
+    col = np.asarray(adj.col)
+    val = np.asarray(adj.val)
+    starts = np.asarray(plan.row_starts)
+    S = len(starts) - 1
+    owner = np.searchsorted(starts[1:], row, side="right")
+    counts = np.bincount(owner, minlength=S)
+    ep = max(1, int(counts.max()))
+    row_l = np.zeros((S, ep), np.int32)
+    col_p = np.zeros((S, ep), np.int32)
+    val_p = np.zeros((S, ep), np.float32)
+    for s in range(S):
+        m = owner == s
+        k = int(m.sum())
+        row_l[s, :k] = row[m] - starts[s]
+        col_p[s, :k] = col[m]
+        val_p[s, :k] = val[m]
+    return jnp.asarray(row_l), jnp.asarray(col_p), jnp.asarray(val_p)
+
+
+def local_spmm_padded(mesh: Mesh, plan: BoundaryPlan, parts,
+                      x: jax.Array) -> jax.Array:
+    """[n_src, d] replicated x -> [S*mr, d] padded output rows, edges
+    pre-partitioned by ``partition_by_plan`` — shard-local, no collective."""
+    row_l, col_p, val_p = parts
+    mr = plan.mr
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(None, None), P("x", None), P("x", None),
+                       P("x", None)),
+             out_specs=P("x", None))
+    def run(xr, r, c, v):
+        return jax.ops.segment_sum(v[0][:, None] * xr[c[0]], r[0],
+                                   num_segments=mr)
+
+    return run(x, row_l, col_p, val_p)

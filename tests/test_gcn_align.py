@@ -75,3 +75,36 @@ def test_gcn_align_no_attributes_falls_back_to_se():
     assert model.vec_ae is None
     hits1, mrr = test_hits1(model)
     assert hits1 > 10.0
+
+
+def test_gcn_align_mesh_training_matches_single_device():
+    """GCN-Align trains on the 8-device mesh via boundary-exchange SpMM
+    (use_mesh=True) with the same math as single-device — the BASELINE
+    north star consumed by a real registered model."""
+    import jax
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from tests.test_models_e2e import run_model, test_hits1
+    from openea_tpu.data.synthetic import synthesize_kg_pair
+
+    kgs = synthesize_kg_pair(num_entities=200, num_relations=8,
+                             num_triples=2000, mode="mapping",
+                             edge_keep_prob=1.0, noise_edge_frac=0.0,
+                             train_frac=0.3, num_attributes=30, seed=7)
+    kw = dict(learning_rate=2.0, gamma=3.0, beta=0.9, neg_triple_num=5,
+              se_dim=32, ae_dim=32, dim=32, eval_metric="manhattan",
+              eval_norm=False, test_method="sa", start_valid=1000,
+              eval_freq=1000)
+    m1, _ = run_model("GCN_Align", "mapping", epochs=15, kgs=kgs, **kw)
+    m2, _ = run_model("GCN_Align", "mapping", epochs=15, kgs=kgs,
+                      use_mesh=True, **kw)
+    assert m2.mesh is not None and m2.mesh.size == 8
+    spec = m2.params["w_se"].sharding.spec
+    assert spec and spec[0] == "x", "w_se not row-sharded over the mesh"
+    np.testing.assert_allclose(m2.vec_se, m1.vec_se, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(m2.vec_ae, m1.vec_ae, atol=2e-3, rtol=1e-3)
+    h1, mrr1 = test_hits1(m1)
+    h2, mrr2 = test_hits1(m2)
+    assert abs(h1 - h2) <= 1.0
+    assert abs(mrr1 - mrr2) < 0.01

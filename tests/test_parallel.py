@@ -233,3 +233,76 @@ def test_boundary_spmm_matches_dense_and_balances_nnz():
     x2 = jnp.asarray(np.random.RandomState(3).randn(2000, 32).astype(np.float32))
     out2 = np.asarray(boundary_spmm(eval_mesh(), plan2, x2))
     assert np.allclose(out2, np.asarray(spmm(adj2, x2)), atol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_boundary_spmm_padded_chains_like_two_spmms():
+    """Composable padded-layout form: two chained layer SpMMs inside one
+    jit match spmm(adj, spmm(adj, x)) — the GCN mesh-training hot path."""
+    from functools import partial
+    from openea_tpu.ops.graph import build_sparse, spmm
+    from openea_tpu.parallel.eval_sharded import eval_mesh
+    from openea_tpu.parallel.spmm_sharded import (
+        plan_boundary_exchange, boundary_spmm_padded, pad_rows, unpad_rows)
+
+    rng = np.random.RandomState(4)
+    n, d = 300, 16
+    dense = (rng.rand(n, n) < 0.03) * rng.randn(n, n)
+    r, c = np.nonzero(dense)
+    adj = build_sparse(r.astype(np.int32), c.astype(np.int32),
+                       dense[r, c].astype(np.float32), n)
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    mesh = eval_mesh()
+    plan = plan_boundary_exchange(adj, mesh.size)
+
+    @jax.jit
+    def two_layer(xp):
+        h = boundary_spmm_padded(mesh, plan, xp)
+        return boundary_spmm_padded(mesh, plan, jax.nn.relu(h))
+
+    out = unpad_rows(plan, two_layer(pad_rows(plan, x)))
+    ref = spmm(adj, jax.nn.relu(spmm(adj, x)))
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    # gradient flows through the all_to_all back to the padded input
+    def loss(xp):
+        return jnp.sum(two_layer(xp) ** 2)
+
+    g = jax.grad(loss)(pad_rows(plan, x))
+
+    def loss_ref(xg):
+        return jnp.sum(spmm(adj, jax.nn.relu(spmm(adj, xg))) ** 2)
+
+    g_ref = jax.grad(loss_ref)(x)
+    assert np.allclose(np.asarray(unpad_rows(plan, g)),
+                       np.asarray(g_ref), atol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_local_spmm_padded_rectangular():
+    """Replicated-source local SpMM (attribute incidence) aligned to the
+    boundary plan's padded layout."""
+    from openea_tpu.ops.graph import build_sparse, spmm
+    from openea_tpu.parallel.eval_sharded import eval_mesh
+    from openea_tpu.parallel.spmm_sharded import (
+        plan_boundary_exchange, partition_by_plan, local_spmm_padded,
+        unpad_rows)
+
+    rng = np.random.RandomState(5)
+    n, a, d = 260, 40, 8
+    sq = (rng.rand(n, n) < 0.05) * rng.randn(n, n)
+    r, c = np.nonzero(sq)
+    adj = build_sparse(r.astype(np.int32), c.astype(np.int32),
+                       sq[r, c].astype(np.float32), n)
+    mesh = eval_mesh()
+    plan = plan_boundary_exchange(adj, mesh.size)
+
+    inc = (rng.rand(n, a) < 0.2) * 1.0
+    ir, ic = np.nonzero(inc)
+    attr = build_sparse(ir.astype(np.int32), ic.astype(np.int32),
+                        inc[ir, ic].astype(np.float32), n)
+    parts = partition_by_plan(attr, plan)
+    w = jnp.asarray(rng.randn(a, d).astype(np.float32))
+    out = unpad_rows(plan, jax.jit(
+        lambda ww: local_spmm_padded(mesh, plan, parts, ww))(w))
+    assert np.allclose(np.asarray(out), np.asarray(spmm(attr, w)), atol=1e-4)
