@@ -40,10 +40,19 @@ def greedy_alignment(embed1, embed2, top_k, nums_threads=1, metric="inner",
     n1 = embed1.shape[0]
     gold = jnp.arange(n1, dtype=jnp.int32)
     if mesh is not None:
-        from openea_tpu.parallel.eval_sharded import sharded_rank_and_argmax
-        ranks, best = sharded_rank_and_argmax(
-            mesh, embed1, embed2, np.asarray(gold), metric=metric,
-            normalize=normalize, csls_k=csls_k, block=min(block, 2048))
+        from openea_tpu.parallel.eval_sharded import (
+            ring_rank_and_argmax, sharded_rank_and_argmax)
+        # past ~1M candidates the replicated block itself gets heavy:
+        # switch to the 2-D ring form (both axes sharded, candidate blocks
+        # rotate over ICI via ppermute; [n1/S, n2/S] peak per device)
+        if int(embed2.shape[0]) * mesh.size >= 2_000_000:
+            ranks, best = ring_rank_and_argmax(
+                mesh, embed1, embed2, np.asarray(gold), metric=metric,
+                normalize=normalize, csls_k=csls_k, block=min(block, 2048))
+        else:
+            ranks, best = sharded_rank_and_argmax(
+                mesh, embed1, embed2, np.asarray(gold), metric=metric,
+                normalize=normalize, csls_k=csls_k, block=min(block, 2048))
     else:
         ranks, best = rank_and_argmax(jnp.asarray(embed1),
                                       jnp.asarray(embed2),

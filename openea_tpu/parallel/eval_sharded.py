@@ -144,6 +144,167 @@ def sharded_rank_and_argmax(mesh: Mesh, embed1, embed2, gold_cols,
     return np.asarray(ranks)[:n1], np.asarray(best)[:n1]
 
 
+def ring_rank_and_argmax(mesh: Mesh, embed1, embed2, gold_cols,
+                         metric: str = "inner", normalize: bool = False,
+                         csls_k: int = 0, block: int = 2048,
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """2-D ring-sharded exact ranking: BOTH axes sharded.  Each device
+    holds one query block and one candidate block; candidate blocks (and
+    their traveling CSLS top-k stats) rotate around the ring via ppermute,
+    so no device ever materializes more than [n1/S, n2/S] similarity and
+    the candidate matrix is never replicated — the 'sequence-parallel
+    equivalent' of SURVEY.md §5 for graph-scale N x N similarity (the
+    reference's version is host row-blocking, similarity.py:119).
+
+    Bit-compatible with ops/ranking.rank_and_argmax (same _pairwise
+    blocks, same tie-breaking, same CSLS transform), verified by test.
+
+    Two ring passes: pass A extracts the gold similarity per row from the
+    ring's own blocks (bit-consistency) and, for CSLS, the exact per-row
+    (r1) and per-candidate (r2) top-k means — r2's top-k carry travels
+    WITH its candidate block, arriving home exact after the full cycle.
+    Pass B counts entries above gold, ties below, and the argmax."""
+    S = mesh.size
+    n1, dim = int(embed1.shape[0]), int(embed1.shape[1])
+    n2 = int(embed2.shape[0])
+    m = -(-n1 // S)                       # query rows per shard
+    m2 = -(-n2 // S)                      # candidate rows per shard
+    e1 = np.zeros((m * S, dim), np.float32)
+    e1[:n1] = np.asarray(embed1, np.float32)
+    e2 = np.zeros((m2 * S, dim), np.float32)
+    e2[:n2] = np.asarray(embed2, np.float32)
+    gold = np.zeros(m * S, np.int32)
+    gold[:n1] = np.asarray(gold_cols, np.int32)
+    qval = np.zeros(m * S, np.float32)
+    qval[:n1] = 1.0
+    cval = np.zeros(m2 * S, np.float32)
+    cval[:n2] = 1.0
+    k = min(csls_k, n1, n2) if csls_k > 0 else 0
+    blk = min(block, m)
+    met = "inner" if (normalize and metric == "cosine") else metric
+    perm = [(i, (i + 1) % S) for i in range(S)]
+    rot = lambda x: jax.lax.ppermute(x, "x", perm)
+    loc_idx = jnp.arange(m2, dtype=jnp.int32)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("x", None), P("x", None), P("x"), P("x"), P("x")),
+             out_specs=(P("x"), P("x"), P("x")))
+    def ring(e1s, e2s, golds, qv, cv):
+        a = l2_normalize(e1s) if normalize else e1s
+        c_home = l2_normalize(e2s) if normalize else e2s
+        me = jax.lax.axis_index("x")
+        a_blocks, nb, _ = _row_blocks(a, blk)
+        g_blocks, _, _ = _row_blocks(golds, blk)
+        qv_blocks, _, _ = _row_blocks(qv, blk)
+
+        # ---- pass A: gold values (+ CSLS r1/r2) --------------------- #
+        def stepA(t, st):
+            C, cvb, r2top, r1top, gv = st
+            base = (jnp.mod(me - t, S) * m2).astype(jnp.int32)
+
+            def inner(r2c, xs):
+                rows, gb, qvb, r1t, gvr = xs
+                s = _pairwise(rows, C, met, False)            # [blk, m2]
+                lg = (gb - base).astype(jnp.int32)
+                in_blk = (lg >= 0) & (lg < m2)
+                v = jnp.take_along_axis(
+                    s, jnp.clip(lg, 0, m2 - 1)[:, None], axis=1)[:, 0]
+                gvr = jnp.where(in_blk, v, gvr)
+                if k > 0:
+                    sc = jnp.where(cvb[None, :] > 0, s, _NEG)
+                    top_r, _ = jax.lax.top_k(sc, k)
+                    r1t, _ = jax.lax.top_k(
+                        jnp.concatenate([r1t, top_r], axis=1), k)
+                    sq = jnp.where(qvb[:, None] > 0, s, _NEG)
+                    r2c, _ = jax.lax.top_k(
+                        jnp.concatenate([r2c, sq.T], axis=1), k)
+                return r2c, (r1t, gvr)
+
+            r2c0 = jax.lax.pcast(jnp.full((m2, max(k, 1)), _NEG), ("x",),
+                                 to="varying")
+            r2c, (r1top, gv) = jax.lax.scan(
+                inner, r2c0, (a_blocks, g_blocks, qv_blocks, r1top, gv))
+            if k > 0:
+                r2top, _ = jax.lax.top_k(
+                    jnp.concatenate([r2top, r2c], axis=1), k)
+            return (rot(C), rot(cvb), rot(r2top), r1top, gv)
+
+        # mark freshly-created carries device-varying (scan-vma rule)
+        vary = lambda x: jax.lax.pcast(x, ("x",), to="varying")
+        stA = (c_home, cv, vary(jnp.full((m2, max(k, 1)), _NEG)),
+               vary(jnp.full((nb, blk, max(k, 1)), _NEG)),
+               vary(jnp.zeros((nb, blk), jnp.float32)))
+        _, _, r2top, r1top, gv = jax.lax.fori_loop(0, S, stepA, stA)
+        mloc = a.shape[0]
+        r1 = jnp.mean(r1top, axis=-1).reshape(-1)[:mloc]      # [m]
+        r2 = jnp.mean(r2top, axis=-1)                         # [m2]
+        return gv.reshape(-1)[:mloc], r2, r1
+
+    e1j, e2j = jnp.asarray(e1), jnp.asarray(e2)
+    goldj, qvj, cvj = jnp.asarray(gold), jnp.asarray(qval), jnp.asarray(cval)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("x", None), P("x", None), P("x"), P("x"), P("x"),
+                       P("x"), P("x"), P("x")),
+             out_specs=(P("x"), P("x")))
+    def ringB(e1s, e2s, golds, qv, cv, gvB, r1s, r2s):
+        a = l2_normalize(e1s) if normalize else e1s
+        c_home = l2_normalize(e2s) if normalize else e2s
+        me = jax.lax.axis_index("x")
+        a_blocks, nb, _ = _row_blocks(a, blk)
+        g_blocks, _, _ = _row_blocks(golds, blk)
+        gv_blocks, _, _ = _row_blocks(gvB, blk)
+        r1_blocks, _, _ = _row_blocks(r1s, blk)
+
+        def stepB(t, st):
+            C, cvb, r2b, greater, ties, bestv, bestc = st
+            base = (jnp.mod(me - t, S) * m2).astype(jnp.int32)
+            gcol = base + loc_idx
+
+            def inner(_, xs):
+                rows, gb, gvr, r1t, gr, ti, bv, bc = xs
+                s = _pairwise(rows, C, met, False)
+                if k > 0:
+                    s = 2.0 * s - r1t[:, None] - r2b[None, :]
+                s = jnp.where(cvb[None, :] > 0, s, _NEG)
+                gr = gr + jnp.sum((s > gvr[:, None]).astype(jnp.int32), axis=1)
+                ti = ti + jnp.sum(((s == gvr[:, None])
+                                   & (gcol[None, :] < gb[:, None])
+                                   ).astype(jnp.int32), axis=1)
+                v = jnp.max(s, axis=1)
+                c = base + jnp.argmax(s, axis=1).astype(jnp.int32)
+                better = (v > bv) | ((v == bv) & (c < bc))
+                return None, (jnp.where(better, v, bv),
+                              jnp.where(better, c, bc), gr, ti)
+
+            _, (bestv, bestc, greater, ties) = jax.lax.scan(
+                inner, None, (a_blocks, g_blocks, gv_blocks, r1_blocks,
+                              greater, ties, bestv, bestc))
+            return (rot(C), rot(cvb), rot(r2b), greater, ties, bestv, bestc)
+
+        vary = lambda x: jax.lax.pcast(x, ("x",), to="varying")
+        stB = (c_home, cv, r2s, vary(jnp.zeros((nb, blk), jnp.int32)),
+               vary(jnp.zeros((nb, blk), jnp.int32)),
+               vary(jnp.full((nb, blk), _NEG)),
+               vary(jnp.full((nb, blk), jnp.int32(2**30))))
+        _, _, _, greater, ties, _, bestc = jax.lax.fori_loop(0, S, stepB, stB)
+        mloc = a.shape[0]
+        return ((greater + ties).reshape(-1)[:mloc],
+                bestc.reshape(-1)[:mloc])
+
+    @jax.jit
+    def run(e1x, e2x, gx, qx, cx):
+        gv, r2, r1 = ring(e1x, e2x, gx, qx, cx)
+        # transform the gold value exactly as ringB transforms the matrix:
+        # csls(s) = 2*s - r1[row] - r2[col]  (gather of sharded r2 -> XLA
+        # SPMD inserts the collective)
+        gvB = 2.0 * gv - r1 - r2[gx] if k > 0 else gv
+        return ringB(e1x, e2x, gx, qx, cx, gvB, r1, r2)
+
+    ranks, best = run(e1j, e2j, goldj, qvj, cvj)
+    return np.asarray(ranks)[:n1], np.asarray(best)[:n1]
+
+
 def sharded_greedy_eval(mesh: Mesh, embed1, embed2, top_k,
                         metric: str = "inner", normalize: bool = False,
                         csls_k: int = 0):

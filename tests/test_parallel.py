@@ -306,3 +306,29 @@ def test_local_spmm_padded_rectangular():
     out = unpad_rows(plan, jax.jit(
         lambda ww: local_spmm_padded(mesh, plan, parts, ww))(w))
     assert np.allclose(np.asarray(out), np.asarray(spmm(attr, w)), atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_ring_rank_and_argmax_matches_single_device():
+    """2-D ring-sharded eval (both axes sharded, candidate blocks rotate
+    via ppermute): exact rank + argmax parity incl. CSLS."""
+    from openea_tpu.parallel.eval_sharded import (eval_mesh,
+                                                  ring_rank_and_argmax)
+    from openea_tpu.ops.ranking import rank_and_argmax
+    rng = np.random.RandomState(7)
+    for n1, n2, csls, metric, norm in [(123, 171, 0, "inner", True),
+                                       (333, 500, 5, "inner", True),
+                                       (256, 300, 10, "euclidean", False),
+                                       (64, 80, 3, "cosine", False)]:
+        e1 = rng.randn(n1, 24).astype(np.float32)
+        e2 = rng.randn(n2, 24).astype(np.float32)
+        e2[:n1] = e1 + 0.1 * rng.randn(n1, 24)
+        gold = np.arange(n1, dtype=np.int32)
+        r_ref, b_ref = rank_and_argmax(
+            jnp.asarray(e1), jnp.asarray(e2), jnp.asarray(gold),
+            metric=metric, normalize=norm, csls_k=csls, block=128)
+        r_sh, b_sh = ring_rank_and_argmax(
+            eval_mesh(), e1, e2, gold, metric=metric, normalize=norm,
+            csls_k=csls, block=29)
+        assert np.array_equal(np.asarray(r_ref), r_sh), (n1, metric, csls)
+        assert np.array_equal(np.asarray(b_ref), b_sh), (n1, metric, csls)
