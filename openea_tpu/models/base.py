@@ -408,6 +408,259 @@ class BasicModel:
         return self._jit_epoch(multi, n_extra=6, donate=(0, 1, 2),
                                with_map_state=True)
 
+    def _can_fuse_valid(self) -> bool:
+        """Fused on-device quick-valid is available when the model keeps
+        the template eval hooks (GNN models override them with full
+        forward passes) and training is single-device.  On the axon
+        tunnel a separate valid() costs a full host round trip (~70 ms),
+        about the same as 10 epochs of device compute at 15K scale —
+        fusing it into the super-step halves the per-window wall time."""
+        cls = type(self)
+        return (self.mesh is None
+                and cls._ent_embeds_for_eval is BasicModel._ent_embeds_for_eval
+                and cls._mapping_for_eval is BasicModel._mapping_for_eval
+                and self.args.eval_metric in ("inner", "cosine", "euclidean",
+                                              "manhattan", "cityblock")
+                and not self.args.get("compute_dtype"))
+
+    def _make_super_valid_fn(self, k: int, use_tables: bool):
+        """Super-step + fused quick-valid: K epochs, then the quick
+        ranking eval (reference finding/evaluation.py:6 'valid'), all in
+        ONE jitted call returning (params, opts, losses, hits@top_k, mr,
+        mrr) — one device dispatch and one host fetch per eval window."""
+        triple_raw = self._make_epoch_fn(use_tables)
+        with_mapping = self._uses_mapping()
+        map_raw = self._make_mapping_epoch_fn() if with_mapping else None
+        kgs, args = self.kgs, self.args
+        if len(kgs.valid_links) > 0:
+            idx1 = jnp.asarray(kgs.valid_entities1, jnp.int32)
+            idx2 = jnp.asarray(kgs.valid_entities2 + kgs.test_entities2,
+                               jnp.int32)
+        else:
+            idx1 = jnp.asarray(kgs.test_entities1, jnp.int32)
+            idx2 = jnp.asarray(kgs.test_entities2, jnp.int32)
+        top_k = tuple(args.top_k)
+        metric = args.eval_metric
+        eval_norm = bool(args.eval_norm)
+        ent_norm = bool(args.ent_l2_norm)
+        from openea_tpu.ops.ranking import rank_and_argmax
+
+        def multi(params, opt_state, map_state, key, t1, w1, t2, w2, n1, n2):
+            def body(carry, ek):
+                p, o, m = carry
+                k1, k2 = jax.random.split(ek)
+                p, o, tl = triple_raw(p, o, k1, t1, w1, t2, w2, n1, n2)
+                if map_raw is not None:
+                    p, m, ml = map_raw(p, m, k2)
+                else:
+                    ml = jnp.zeros(())
+                return (p, o, m), (tl, ml)
+
+            keys = jax.random.split(key, k)
+            (params, opt_state, map_state), (tls, mls) = jax.lax.scan(
+                body, (params, opt_state, map_state), keys)
+            ent = params["ent_embeds"]
+            if ent_norm:
+                ent = l2_normalize(ent)
+            e1 = ent[idx1]
+            e2 = ent[idx2]
+            m = params.get("mapping_mat")
+            if m is not None:
+                e1 = e1 @ m
+            gold = jnp.arange(idx1.shape[0], dtype=jnp.int32)
+            ranks, _ = rank_and_argmax(e1, e2, gold, metric=metric,
+                                       normalize=eval_norm, csls_k=0)
+            n = ranks.shape[0]
+            hits = (jnp.stack([jnp.sum(ranks < kk) for kk in top_k])
+                    .astype(jnp.float32) / n * 100.0)
+            mr = jnp.mean((ranks + 1).astype(jnp.float32))
+            mrr = jnp.mean(1.0 / (ranks + 1).astype(jnp.float32))
+            return params, opt_state, map_state, tls, mls, hits, mr, mrr
+
+        return jax.jit(multi, donate_argnums=(0, 1, 2))
+
+    _MULTIWIN = 8   # eval windows fused per device call (one compile)
+
+    def _make_multiwin_fn(self, k: int, W: int, use_tables: bool):
+        """W eval windows (k epochs + quick valid each) in ONE device
+        call with ON-DEVICE early stopping: after a window's eval decides
+        'stop', lax.cond freezes params/opt/flags so later windows are
+        skipped — exactly the host loop's semantics (the declined params
+        are kept, reference basic_model.py:252-290), at 1/W of the host
+        round trips.  The PRNG key advances one split per window, so
+        results are bit-identical to W separate fused calls."""
+        triple_raw = self._make_epoch_fn(use_tables)
+        with_mapping = self._uses_mapping()
+        map_raw = self._make_mapping_epoch_fn() if with_mapping else None
+        kgs, args = self.kgs, self.args
+        if len(kgs.valid_links) > 0:
+            idx1 = jnp.asarray(kgs.valid_entities1, jnp.int32)
+            idx2 = jnp.asarray(kgs.valid_entities2 + kgs.test_entities2,
+                               jnp.int32)
+        else:
+            idx1 = jnp.asarray(kgs.test_entities1, jnp.int32)
+            idx2 = jnp.asarray(kgs.test_entities2, jnp.int32)
+        top_k = tuple(args.top_k)
+        metric = args.eval_metric
+        eval_norm = bool(args.eval_norm)
+        ent_norm = bool(args.ent_l2_norm)
+        use_hits = args.stop_metric == "hits1"
+        from openea_tpu.ops.ranking import rank_and_argmax
+
+        def round3(x):
+            return jnp.round(x * 1000.0) / 1000.0
+
+        def one_window(params, opt_state, map_state, wk, data):
+            t1, w1, t2, w2, n1, n2 = data
+
+            def body(carry, ek):
+                p, o, m = carry
+                k1, k2 = jax.random.split(ek)
+                p, o, tl = triple_raw(p, o, k1, t1, w1, t2, w2, n1, n2)
+                if map_raw is not None:
+                    p, m, ml = map_raw(p, m, k2)
+                else:
+                    ml = jnp.zeros(())
+                return (p, o, m), (tl, ml)
+
+            keys = jax.random.split(wk, k)
+            (params, opt_state, map_state), (tls, mls) = jax.lax.scan(
+                body, (params, opt_state, map_state), keys)
+            ent = params["ent_embeds"]
+            if ent_norm:
+                ent = l2_normalize(ent)
+            e1 = ent[idx1]
+            e2 = ent[idx2]
+            m = params.get("mapping_mat")
+            if m is not None:
+                e1 = e1 @ m
+            gold = jnp.arange(idx1.shape[0], dtype=jnp.int32)
+            ranks, _ = rank_and_argmax(e1, e2, gold, metric=metric,
+                                       normalize=eval_norm, csls_k=0)
+            n = ranks.shape[0]
+            hits = round3(jnp.stack([jnp.sum(ranks < kk) for kk in top_k])
+                          .astype(jnp.float32) / n * 100.0)
+            mr = jnp.mean((ranks + 1).astype(jnp.float32))
+            mrr = jnp.mean(1.0 / (ranks + 1).astype(jnp.float32))
+            return params, opt_state, map_state, tls, mls, hits, mr, mrr
+
+        def multi(params, opt_state, map_state, key, f1, f2,
+                  t1, w1, t2, w2, n1, n2):
+            data = (t1, w1, t2, w2, n1, n2)
+
+            def win(carry, _):
+                p, o, m, ky, f1c, f2c, stopped = carry
+                ky, wk = jax.random.split(ky)
+
+                def run(_):
+                    return one_window(p, o, m, wk, data)
+
+                def skip(_):
+                    z = jnp.zeros((k,))
+                    zh = jnp.zeros((len(top_k),))
+                    return (p, o, m, z, z, zh, jnp.zeros(()), jnp.zeros(()))
+
+                p2, o2, m2, tls, mls, hits, mr, mrr = jax.lax.cond(
+                    stopped, skip, run, None)
+                flag = hits[0] if use_hits else mrr
+                stop_now = (~stopped) & (flag <= f2c) & (f2c <= f1c)
+                f1n = jnp.where(stopped, f1c, f2c)
+                f2n = jnp.where(stopped, f2c, flag)
+                return ((p2, o2, m2, ky, f1n, f2n, stopped | stop_now),
+                        (tls, mls, hits, mr, mrr, stopped, stop_now))
+
+            carry0 = (params, opt_state, map_state, key,
+                      f1, f2, jnp.zeros((), jnp.bool_))
+            (params, opt_state, map_state, key, f1, f2, _), outs = \
+                jax.lax.scan(win, carry0, None, length=W)
+            return (params, opt_state, map_state, key, f1, f2) + outs
+
+        return jax.jit(multi, donate_argnums=(0, 1, 2))
+
+    def launch_training_multiwin(self, first_epoch: int, k: int) -> int:
+        """Run up to _MULTIWIN fused (k epochs + valid) windows in one
+        device call; prints the reference log lines for every window that
+        actually executed.  Returns the number of epochs run; sets
+        self.early_stop / flags exactly like the host loop."""
+        W = self._MULTIWIN
+        start = time.time()
+        use_tables = self._neigh1 is not None
+        cache_key = ("multiwin", k, W, use_tables)
+        if cache_key not in self._epoch_fn_cache:
+            self._epoch_fn_cache[cache_key] = self._make_multiwin_fn(
+                k, W, use_tables)
+        map_state = (self.mapping_opt_state if self._uses_mapping()
+                     else jnp.zeros(()))
+        (self.params, self.opt_state, map_state, self.key, f1, f2,
+         tls, mls, hits, mr, mrr, was_stopped, stop_now) = \
+            self._epoch_fn_cache[cache_key](
+                self.params, self.opt_state, map_state, self.key,
+                jnp.float32(self.flag1), jnp.float32(self.flag2),
+                self._t1, self._w1, self._t2, self._w2,
+                self._neigh1, self._neigh2)
+        if self._uses_mapping():
+            self.mapping_opt_state = map_state
+        tls = np.asarray(tls)
+        mls = np.asarray(mls)
+        hits = np.asarray(hits)
+        was_stopped = np.asarray(was_stopped)
+        stop_now = np.asarray(stop_now)
+        executed = int((~was_stopped).sum())
+        dt = (time.time() - start) / max(1, executed * k)
+        n_links = max(1, self._links.shape[0])
+        for w in range(executed):
+            for i in range(k):
+                ep = first_epoch + w * k + i
+                print("epoch {}, avg. triple loss: {:.4f}, cost time: "
+                      "{:.4f}s".format(ep, tls[w, i] / self._n_real, dt))
+                if self._uses_mapping():
+                    print("epoch {}, avg. mapping loss: {:.4f}, cost time: "
+                          "{:.4f}s".format(ep, mls[w, i] / n_links, dt))
+            print("quick results: hits@{} = {}%, time = {:.3f} s ".format(
+                list(self.args.top_k), hits[w], 0.0))
+            if stop_now[w]:
+                print("\n == should early stop == \n")
+        self.flag1 = float(np.asarray(f1))
+        self.flag2 = float(np.asarray(f2))
+        self.early_stop = bool(stop_now.any())
+        return executed * k
+
+    def launch_training_k_epo_valid(self, first_epoch: int, k: int) -> float:
+        """K epochs + quick valid fused into one call; prints the same
+        per-epoch and 'quick results' lines, returns the stop metric."""
+        start = time.time()
+        use_tables = self._neigh1 is not None
+        cache_key = ("superv", k, use_tables)
+        if cache_key not in self._epoch_fn_cache:
+            self._epoch_fn_cache[cache_key] = self._make_super_valid_fn(
+                k, use_tables)
+        self.key, kk = jax.random.split(self.key)
+        map_state = (self.mapping_opt_state if self._uses_mapping()
+                     else jnp.zeros(()))
+        (self.params, self.opt_state, map_state, tls, mls, hits, mr, mrr) = \
+            self._epoch_fn_cache[cache_key](
+                self.params, self.opt_state, map_state, kk, self._t1,
+                self._w1, self._t2, self._w2, self._neigh1, self._neigh2)
+        if self._uses_mapping():
+            self.mapping_opt_state = map_state
+        tls = np.asarray(tls)
+        mls = np.asarray(mls)
+        dt = (time.time() - start) / k
+        n_links = max(1, self._links.shape[0])
+        for i in range(k):
+            print("epoch {}, avg. triple loss: {:.4f}, cost time: {:.4f}s"
+                  .format(first_epoch + i, tls[i] / self._n_real, dt))
+            if self._uses_mapping():
+                print("epoch {}, avg. mapping loss: {:.4f}, cost time: "
+                      "{:.4f}s".format(first_epoch + i, mls[i] / n_links, dt))
+        t_e = time.time()
+        hits_r = np.array([round(float(h), 3) for h in np.asarray(hits)])
+        mrr = float(mrr)
+        # eval ran inside the fused call; the residual fetch is its cost
+        print("quick results: hits@{} = {}%, time = {:.3f} s ".format(
+            list(self.args.top_k), hits_r, time.time() - t_e))
+        return float(hits_r[0]) if self.args.stop_metric == "hits1" else mrr
+
     def launch_training_k_epo(self, first_epoch: int, k: int):
         start = time.time()
         use_tables = self._neigh1 is not None
@@ -537,6 +790,27 @@ class BasicModel:
                 self.params, self.opt_state, map_state, self.key, self._t1,
                 self._w1, self._t2, self._w2, self._neigh1,
                 self._neigh2).compile()
+            if self._can_fuse_valid():
+                keyv = ("superv", epc, use_tables)
+                if keyv not in self._epoch_fn_cache:
+                    self._epoch_fn_cache[keyv] = self._make_super_valid_fn(
+                        epc, use_tables)
+                self._epoch_fn_cache[keyv].lower(
+                    self.params, self.opt_state, map_state, self.key,
+                    self._t1, self._w1, self._t2, self._w2, self._neigh1,
+                    self._neigh2).compile()
+                if (epc == self.args.eval_freq
+                        and self.args.neg_sampling != "truncated"
+                        and not self.args.get("checkpoint_freq")):
+                    keym = ("multiwin", epc, self._MULTIWIN, use_tables)
+                    if keym not in self._epoch_fn_cache:
+                        self._epoch_fn_cache[keym] = self._make_multiwin_fn(
+                            epc, self._MULTIWIN, use_tables)
+                    self._epoch_fn_cache[keym].lower(
+                        self.params, self.opt_state, map_state, self.key,
+                        jnp.float32(-1), jnp.float32(-1),
+                        self._t1, self._w1, self._t2, self._w2,
+                        self._neigh1, self._neigh2).compile()
         else:
             self._epoch_fn(use_tables).lower(
                 self.params, self.opt_state, self.key, self._t1, self._w1,
@@ -575,17 +849,38 @@ class BasicModel:
                 if freq:
                     to_boundary = freq - (epoch % freq)
                     k = min(k, to_boundary)
-            if k > 1:
-                self.launch_training_k_epo(epoch + 1, k)
-            else:
-                self.launch_training_1epo(epoch + 1)
-            epoch += k
-            if epoch >= self.args.start_valid and epoch % self.args.eval_freq == 0:
-                flag = self.valid(self.args.stop_metric)
+            will_valid = (epoch + k >= self.args.start_valid
+                          and (epoch + k) % self.args.eval_freq == 0)
+            can_fuse = k > 1 and will_valid and self._can_fuse_valid()
+            if (can_fuse and k == self.args.eval_freq
+                    and self.args.neg_sampling != "truncated"
+                    and not ckpt_freq
+                    and self.args.max_epoch - epoch >= k * self._MULTIWIN):
+                # batch several eval windows into one device call with
+                # on-device early stopping (axon round trips dominate
+                # past this point)
+                epoch += self.launch_training_multiwin(epoch + 1, k)
+                if self.early_stop or epoch >= self.args.max_epoch:
+                    break
+            elif can_fuse:
+                flag = self.launch_training_k_epo_valid(epoch + 1, k)
+                epoch += k
                 self.flag1, self.flag2, self.early_stop = early_stop(
                     self.flag1, self.flag2, flag)
                 if self.early_stop or epoch >= self.args.max_epoch:
                     break
+            else:
+                if k > 1:
+                    self.launch_training_k_epo(epoch + 1, k)
+                else:
+                    self.launch_training_1epo(epoch + 1)
+                epoch += k
+                if will_valid:
+                    flag = self.valid(self.args.stop_metric)
+                    self.flag1, self.flag2, self.early_stop = early_stop(
+                        self.flag1, self.flag2, flag)
+                    if self.early_stop or epoch >= self.args.max_epoch:
+                        break
             if (self.args.neg_sampling == "truncated"
                     and epoch % self.args.truncated_freq == 0):
                 self._regenerate_neighbors()

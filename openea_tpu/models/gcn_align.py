@@ -115,9 +115,13 @@ class GCN_Align(BasicModel):
             self._setup_mesh_gnn()
         else:
             # TPU: Pallas sorted-segment SpMM (adjacency weights are
-            # constants here, so the no-val-grad Pallas path is exact)
-            self._spmm_adj = spmm_fn(self.adj)
-            self._spmm_attr = (spmm_fn(self.attr_sp, n_cols=a_num)
+            # constants here, so the no-val-grad Pallas path is exact;
+            # spmm_precision='default' switches to bf16 feature gathers
+            # with f32 accumulate — ~2x less HBM traffic, ~2e-3 rel err)
+            prec = self.args.get("spmm_precision", "highest")
+            self._spmm_adj = spmm_fn(self.adj, precision=prec)
+            self._spmm_attr = (spmm_fn(self.attr_sp, n_cols=a_num,
+                                       precision=prec)
                                if self.attr_sp is not None else None)
         self._step_fn = self._make_step_fn()
 

@@ -153,7 +153,8 @@ class RDGCN(BasicModel):
         # weights are constants, so the no-val-grad kernel is exact)
         from openea_tpu.ops.graph import build_sparse, spmm_fn
         self._spmm_fast = spmm_fn(
-            build_sparse(self._m_row, self._m_col, self._m_val, E, host=True))
+            build_sparse(self._m_row, self._m_col, self._m_val, E, host=True),
+            precision=self.args.get("spmm_precision", "highest"))
         head_inc, tail_inc, (er, ec, ev) = relation_structures(triples, E, R)
         hr, he, hc = incidence_pairs(head_inc)
         tr, te, tc = incidence_pairs(tail_inc)

@@ -95,7 +95,7 @@ def segmented_weighted_gather_sum(row: jax.Array, col: jax.Array,
 
 
 def spmm_fn(adj: SparseAdj, use_pallas=None, min_nnz: int = 65536,
-            n_cols: int = None):
+            n_cols: int = None, precision: str = "highest"):
     """Return a closure ``y(x) = adj @ x`` with backend dispatch: the
     Pallas sorted-segment kernel (ops/spmm_pallas.py) on TPU backends,
     the segment-sum path elsewhere.  Measured on-chip at the 100K
@@ -118,7 +118,7 @@ def spmm_fn(adj: SparseAdj, use_pallas=None, min_nnz: int = 65536,
     plan, plan_t = plans_from_coo(np.asarray(adj.row), np.asarray(adj.col),
                                   np.asarray(adj.val), adj.n_rows,
                                   n_cols=n_cols)
-    return make_csr_spmm(plan, plan_t)
+    return make_csr_spmm(plan, plan_t, precision=precision)
 
 
 def build_sparse(row: np.ndarray, col: np.ndarray, val: np.ndarray,

@@ -135,6 +135,13 @@ def main(argv=None):
         report("spmm fwd+bwd (Pallas CSR)", timeit(g_pal, xj),
                edges=2 * nnz, bytes_moved=2 * spmm_bytes)
 
+        f_b16 = jax.jit(make_csr_spmm(plan, plan_t, precision="default"))
+        report("spmm fwd (Pallas CSR bf16)", timeit(f_b16, xj),
+               edges=nnz, bytes_moved=spmm_bytes)
+        g_b16 = jax.jit(jax.grad(lambda xx: jnp.sum(jnp.tanh(f_b16(xx)))))
+        report("spmm fwd+bwd (Pallas CSR bf16)", timeit(g_b16, xj),
+               edges=2 * nnz, bytes_moved=2 * spmm_bytes)
+
         S = 1024
         meta, meta_t = metas_from_coo(row, col, n, pad_chunks_to=S)
         meta, meta_t = meta.device_put(), meta_t.device_put()

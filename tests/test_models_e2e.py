@@ -82,3 +82,49 @@ def test_save_and_retest(tmp_path):
 
 # pytest collects test_hits1 as a test by name; mark it as a helper
 test_hits1.__test__ = False
+
+
+def test_fused_valid_matches_separate_path():
+    """The fused train+quick-valid super-step (one device call per eval
+    window) must produce identical params and early-stop flags to the
+    separate valid() path."""
+    import openea_tpu.models.base as B
+
+    kw = dict(init="unit", optimizer="Adagrad", eval_metric="inner",
+              ent_l2_norm=True, rel_l2_norm=True, alpha=5, eval_norm=True,
+              epochs_per_call=5, start_valid=5, eval_freq=5,
+              stop_metric="hits1")
+    m1, _ = run_model("MTransE", "mapping", epochs=20, **kw)
+    orig = B.BasicModel._can_fuse_valid
+    B.BasicModel._can_fuse_valid = lambda self: False
+    try:
+        m2, _ = run_model("MTransE", "mapping", epochs=20, **kw)
+    finally:
+        B.BasicModel._can_fuse_valid = orig
+    assert m1.flag1 == m2.flag1 and m1.flag2 == m2.flag2
+    assert m1.early_stop == m2.early_stop
+    np.testing.assert_allclose(np.asarray(m1.params["ent_embeds"]),
+                               np.asarray(m2.params["ent_embeds"]), atol=1e-6)
+
+
+def test_multiwin_fused_matches_separate_path():
+    """The multi-window fused call (8 eval windows + on-device early stop
+    per device call) must stop at the same epoch with identical params
+    and flags as the separate-valid host loop."""
+    import openea_tpu.models.base as B
+
+    kw = dict(init="unit", optimizer="Adagrad", eval_metric="inner",
+              ent_l2_norm=True, rel_l2_norm=True, alpha=5, eval_norm=True,
+              epochs_per_call=5, start_valid=5, eval_freq=5,
+              stop_metric="hits1")
+    m1, _ = run_model("MTransE", "mapping", epochs=400, **kw)
+    orig = B.BasicModel._can_fuse_valid
+    B.BasicModel._can_fuse_valid = lambda self: False
+    try:
+        m2, _ = run_model("MTransE", "mapping", epochs=400, **kw)
+    finally:
+        B.BasicModel._can_fuse_valid = orig
+    assert m1.early_stop == m2.early_stop
+    assert abs(m1.flag1 - m2.flag1) < 2e-3 and abs(m1.flag2 - m2.flag2) < 2e-3
+    np.testing.assert_allclose(np.asarray(m1.params["ent_embeds"]),
+                               np.asarray(m2.params["ent_embeds"]), atol=1e-6)
