@@ -206,3 +206,23 @@ def test_chunk_meta_slots_are_a_bijection_onto_real_edges():
     assert len(np.unique(slots)) == nnz            # injective
     # each slot's col matches its original edge's col
     assert np.array_equal(np.asarray(meta.col)[slots], col)
+
+
+def test_forward_bf16_precision_close():
+    """precision='default' (bf16 feature gather, f32 accumulate) stays
+    within bf16 epsilon of the exact result."""
+    n, nnz, d = 400, 6000, 64
+    row, col, val = _random_coo(n, nnz, seed=9)
+    x = np.random.RandomState(4).randn(n, d).astype(np.float32)
+    plan, plan_t = plans_from_coo(row, col, val, n)
+    f = make_csr_spmm(plan, plan_t, interpret=True, precision="default")
+    out = np.asarray(f(jnp.asarray(x)))
+    ref = _dense_ref(row, col, val, n, x)
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(out - ref).max() / scale < 2e-2
+    # backward uses the same precision through the transpose plan
+    g = jax.grad(lambda xx: jnp.sum(jnp.tanh(f(xx))))(jnp.asarray(x))
+    adj = build_sparse(row, col, val, n)
+    gref = jax.grad(lambda xx: jnp.sum(jnp.tanh(spmm(adj, xx))))(jnp.asarray(x))
+    gscale = float(jnp.abs(gref).max()) + 1e-9
+    assert float(jnp.abs(g - gref).max()) / gscale < 2e-2
