@@ -300,6 +300,47 @@ class BasicModel:
         num_neg = max(1, int(self.args.neg_triple_num))
         ents1, ents2 = self._ents1, self._ents2
         opt = self.opt
+        lr = float(self.args.learning_rate)
+        ent_norm, rel_norm = self.args.ent_l2_norm, self.args.rel_l2_norm
+        sparse = (self._sparse_updates_ok()
+                  and type(self)._triple_loss is BasicModel._triple_loss)
+
+        def sparse_step(params, opt_state, pos, neg, pos_w, neg_w):
+            """Row-gradient step + touched-row Adagrad — same math as the
+            dense optax step (see ops/optim.sparse_adagrad_apply)."""
+            from openea_tpu.ops.optim import (sparse_adagrad_apply,
+                                              rss_state, replace_rss)
+            bp, bn = pos.shape[0], neg.shape[0]
+            ent_idx = jnp.concatenate([pos[:, 0], pos[:, 2],
+                                       neg[:, 0], neg[:, 2]])
+            rel_idx = jnp.concatenate([pos[:, 1], neg[:, 1]])
+            ent_rows0 = params["ent_embeds"][ent_idx]
+            rel_rows0 = params["rel_embeds"][rel_idx]
+
+            def loss_fn(er, rr):
+                if ent_norm:
+                    er = l2_normalize(er)
+                if rel_norm:
+                    rr = l2_normalize(rr)
+                phs, pts = er[:bp], er[bp:2 * bp]
+                nhs, nts = er[2 * bp:2 * bp + bn], er[2 * bp + bn:]
+                prs, nrs = rr[:bp], rr[bp:]
+                return L.get_loss_func(phs, prs, pts, nhs, nrs, nts,
+                                       self.args, pos_w=pos_w, neg_w=neg_w)
+
+            loss, (ge, gr) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                ent_rows0, rel_rows0)
+            sos = rss_state(opt_state)
+            ent, acc_e = sparse_adagrad_apply(params["ent_embeds"],
+                                              sos["ent_embeds"], ent_idx,
+                                              ge, lr)
+            rel, acc_r = sparse_adagrad_apply(params["rel_embeds"],
+                                              sos["rel_embeds"], rel_idx,
+                                              gr, lr)
+            params = {**params, "ent_embeds": ent, "rel_embeds": rel}
+            opt_state = replace_rss(opt_state, {**sos, "ent_embeds": acc_e,
+                                                "rel_embeds": acc_r})
+            return params, opt_state, loss
 
         def epoch(params, opt_state, key, t1, w1, t2, w2, neigh1, neigh2):
             # numpy closure constants -> jnp INSIDE the trace: embeds them
@@ -325,6 +366,11 @@ class BasicModel:
                 neg_w = jnp.concatenate(
                     [jnp.repeat(w1b, num_neg), jnp.repeat(w2b, num_neg)], axis=0)
 
+                if sparse:
+                    params, opt_state, loss = sparse_step(
+                        params, opt_state, pos, neg, pos_w, neg_w)
+                    return (params, opt_state), loss
+
                 def loss_fn(p):
                     return self._triple_loss(p, pos, neg, pos_w, neg_w, key=sk3)
 
@@ -345,12 +391,56 @@ class BasicModel:
                 self._make_epoch_fn(use_tables), n_extra=6)
         return self._epoch_fn_cache[use_tables]
 
+    def _sparse_updates_ok(self) -> bool:
+        """Touched-row Adagrad (ops/optim.sparse_adagrad_apply): identical
+        math to the dense step at O(batch*d) traffic — but measured SLOWER
+        on the chip at benchmark scales (27 vs 12 ms/epoch at 15K): the
+        per-step sort behind jnp.unique and the small scatters are
+        latency-bound, while the dense full-table update is pure streaming
+        the TPU excels at.  OFF by default; `sparse_updates=True` opts in
+        (the tradeoff flips only when table_rows >> touched_rows by a much
+        larger factor than these workloads produce)."""
+        return (self.mesh is None and self.args.optimizer == "Adagrad"
+                and bool(self.args.get("sparse_updates", False)))
+
     def _make_mapping_epoch_fn(self):
         steps = self._steps
         links = self._links
         n_links = links.shape[0]
         per_step = max(1, n_links // steps)
         opt = self.mapping_opt
+        lr = float(self.args.learning_rate)
+        sparse = (self._sparse_updates_ok()
+                  and type(self)._mapping_loss is BasicModel._mapping_loss)
+        alpha = self.args.get("alpha", 1)
+        ent_norm = self.args.ent_l2_norm
+
+        def sparse_step(params, opt_state, batch):
+            from openea_tpu.ops.optim import (sparse_adagrad_apply,
+                                              rss_state, replace_rss)
+            b = batch.shape[0]
+            ent_idx = jnp.concatenate([batch[:, 0], batch[:, 1]])
+            ent_rows = params["ent_embeds"][ent_idx]
+
+            def loss_fn(er, mat):
+                e1, e2 = er[:b], er[b:]
+                if ent_norm:
+                    e1, e2 = l2_normalize(e1), l2_normalize(e2)
+                return alpha * L.mapping_loss(e1, e2, mat, w=None)
+
+            loss, (ge, gm) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                ent_rows, params["mapping_mat"])
+            sos = rss_state(opt_state)
+            ent, acc_e = sparse_adagrad_apply(params["ent_embeds"],
+                                              sos["ent_embeds"], ent_idx,
+                                              ge, lr)
+            # mapping matrix is [d, d]-small: plain dense Adagrad row
+            acc_m = sos["mapping_mat"] + gm * gm
+            mat = params["mapping_mat"] - lr * gm * jax.lax.rsqrt(acc_m + 1e-7)
+            params = {**params, "ent_embeds": ent, "mapping_mat": mat}
+            opt_state = replace_rss(opt_state, {**sos, "ent_embeds": acc_e,
+                                                "mapping_mat": acc_m})
+            return params, opt_state, loss
 
         def epoch(params, opt_state, key):
             links_c = jnp.asarray(links)
@@ -363,6 +453,11 @@ class BasicModel:
             def step(carry, batch_idx):
                 params, opt_state = carry
                 batch = links_c[batch_idx]
+
+                if sparse:
+                    params, opt_state, loss = sparse_step(params, opt_state,
+                                                          batch)
+                    return (params, opt_state), loss
 
                 def loss_fn(p):
                     return self._mapping_loss(p, batch, None)

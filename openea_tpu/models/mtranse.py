@@ -31,6 +31,42 @@ class MTransE(BasicModel):
     def _make_epoch_fn(self, use_tables: bool):
         steps, bs1, bs2 = self._steps, self._bs1, self._bs2
         opt = self.opt
+        lr = float(self.args.learning_rate)
+        ent_norm, rel_norm = self.args.ent_l2_norm, self.args.rel_l2_norm
+        sparse = self._sparse_updates_ok()
+
+        def sparse_step(params, opt_state, pos, pos_w):
+            """Row-gradient step + touched-row Adagrad (ops/optim.py):
+            identical math to the dense optax step at O(batch*d) traffic."""
+            from openea_tpu.ops.initializers import l2_normalize
+            from openea_tpu.ops.optim import (sparse_adagrad_apply,
+                                              rss_state, replace_rss)
+            b = pos.shape[0]
+            ent_idx = jnp.concatenate([pos[:, 0], pos[:, 2]])
+            rel_idx = pos[:, 1]
+            ent_rows = params["ent_embeds"][ent_idx]
+            rel_rows = params["rel_embeds"][rel_idx]
+
+            def loss_fn(er, rr):
+                h, t = er[:b], er[b:]
+                if ent_norm:
+                    h, t = l2_normalize(h), l2_normalize(t)
+                r = l2_normalize(rr) if rel_norm else rr
+                return L.positive_loss(h, r, t, "L2", pos_w=pos_w)
+
+            loss, (ge, gr) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                ent_rows, rel_rows)
+            sos = rss_state(opt_state)
+            ent, acc_e = sparse_adagrad_apply(params["ent_embeds"],
+                                              sos["ent_embeds"], ent_idx,
+                                              ge, lr)
+            rel, acc_r = sparse_adagrad_apply(params["rel_embeds"],
+                                              sos["rel_embeds"], rel_idx,
+                                              gr, lr)
+            params = {**params, "ent_embeds": ent, "rel_embeds": rel}
+            opt_state = replace_rss(opt_state, {**sos, "ent_embeds": acc_e,
+                                                "rel_embeds": acc_r})
+            return params, opt_state, loss
 
         def epoch(params, opt_state, key, t1, w1, t2, w2, neigh1, neigh2):
             k1, k2 = jax.random.split(key)
@@ -44,6 +80,11 @@ class MTransE(BasicModel):
                 pos1, w1b, pos2, w2b = xs
                 pos = jnp.concatenate([pos1, pos2], axis=0)
                 pos_w = jnp.concatenate([w1b, w2b], axis=0)
+
+                if sparse:
+                    params, opt_state, loss = sparse_step(params, opt_state,
+                                                          pos, pos_w)
+                    return (params, opt_state), loss
 
                 def loss_fn(p):
                     phs, prs, pts = self._lookup(p, pos)

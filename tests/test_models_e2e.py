@@ -128,3 +128,33 @@ def test_multiwin_fused_matches_separate_path():
     assert abs(m1.flag1 - m2.flag1) < 2e-3 and abs(m1.flag2 - m2.flag2) < 2e-3
     np.testing.assert_allclose(np.asarray(m1.params["ent_embeds"]),
                                np.asarray(m2.params["ent_embeds"]), atol=1e-6)
+
+
+def test_sparse_updates_match_dense():
+    """sparse_updates=True (touched-row Adagrad) trains identically to
+    the dense optax path for MTransE (positive + mapping epochs) and
+    AlignE (template triple loss with negatives)."""
+    kw_m = dict(init="unit", optimizer="Adagrad", eval_metric="inner",
+                ent_l2_norm=True, rel_l2_norm=True, alpha=5, eval_norm=True)
+    m1, _ = run_model("MTransE", "mapping", epochs=30, sparse_updates=True,
+                      **kw_m)
+    m2, _ = run_model("MTransE", "mapping", epochs=30, **kw_m)
+    np.testing.assert_allclose(np.asarray(m1.params["ent_embeds"]),
+                               np.asarray(m2.params["ent_embeds"]),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m1.params["mapping_mat"]),
+                               np.asarray(m2.params["mapping_mat"]),
+                               rtol=1e-4, atol=2e-5)
+
+    kw_a = dict(init="normal", optimizer="Adagrad", eval_metric="inner",
+                ent_l2_norm=True, rel_l2_norm=True, loss="limited",
+                neg_sampling="truncated", truncated_epsilon=0.9,
+                truncated_freq=10, pos_margin=0.01, neg_margin=2.0,
+                neg_margin_balance=0.2, learning_rate=0.05, neg_triple_num=4,
+                eval_norm=True)
+    a1, _ = run_model("AlignE", "swapping", epochs=20, sparse_updates=True,
+                      **kw_a)
+    a2, _ = run_model("AlignE", "swapping", epochs=20, **kw_a)
+    np.testing.assert_allclose(np.asarray(a1.params["ent_embeds"]),
+                               np.asarray(a2.params["ent_embeds"]),
+                               rtol=1e-4, atol=2e-5)

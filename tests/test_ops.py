@@ -171,3 +171,36 @@ def test_top_k_neighbors_self_first():
     assert nb.shape == (20, 3)
     # self-similarity is maximal for unit vectors
     np.testing.assert_array_equal(nb[:, 0], np.arange(100, 120))
+
+
+def test_sparse_adagrad_apply_matches_dense_optax():
+    """Touched-row Adagrad == dense optax.adagrad step (zero-grad rows
+    are no-ops), including duplicate-index accumulation."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from openea_tpu.ops.optim import (get_optimizer, sparse_adagrad_apply,
+                                      rss_state, replace_rss)
+    rng = np.random.RandomState(0)
+    n, d, m = 50, 8, 24
+    table = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, n, m).astype(np.int32))  # has dupes
+    row_g = jnp.asarray(rng.randn(m, d).astype(np.float32))
+    params = {"t": table}
+    opt = get_optimizer("Adagrad", 0.3)
+    state = opt.init(params)
+    for _ in range(3):   # multiple steps: accumulator state must track
+        dense_g = jnp.zeros((n, d)).at[idx].add(row_g)
+        upd, state2 = opt.update({"t": dense_g}, state, params)
+        dense_params = optax.apply_updates(params, upd)
+
+        sos = rss_state(state)
+        t2, acc2 = sparse_adagrad_apply(params["t"], sos["t"], idx, row_g, 0.3)
+        np.testing.assert_allclose(np.asarray(t2),
+                                   np.asarray(dense_params["t"]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(acc2), np.asarray(rss_state(state2)["t"]),
+            rtol=1e-5, atol=1e-6)
+        params, state = dense_params, state2
+        row_g = row_g * 0.7 + 0.1
