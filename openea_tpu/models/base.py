@@ -244,12 +244,14 @@ class BasicModel:
 
     def _mapping_loss(self, params: Params, links: jax.Array,
                       w: jax.Array) -> jax.Array:
-        e1 = params["ent_embeds"][links[:, 0]]
-        e2 = params["ent_embeds"][links[:, 1]]
+        # one concatenated gather -> one backward scatter-add (not two
+        # dense table buffers + add_any)
+        b = links.shape[0]
+        er = params["ent_embeds"][jnp.concatenate([links[:, 0], links[:, 1]])]
         if self.args.ent_l2_norm:
-            e1 = l2_normalize(e1)
-            e2 = l2_normalize(e2)
-        return self.args.alpha * L.mapping_loss(e1, e2, params["mapping_mat"], w=w)
+            er = l2_normalize(er)
+        return self.args.alpha * L.mapping_loss(er[:b], er[b:],
+                                                params["mapping_mat"], w=w)
 
     # ------------------------------------------------------------------ #
     # training arrays (host, once)

@@ -15,6 +15,7 @@ import optax
 
 from openea_tpu.models.base import BasicModel
 from openea_tpu.ops import losses as L
+from openea_tpu.ops.initializers import l2_normalize
 
 
 class MTransE(BasicModel):
@@ -87,8 +88,20 @@ class MTransE(BasicModel):
                     return (params, opt_state), loss
 
                 def loss_fn(p):
-                    phs, prs, pts = self._lookup(p, pos)
-                    return L.positive_loss(phs, prs, pts, "L2", pos_w=pos_w)
+                    # ONE entity gather (h and t concatenated): the
+                    # backward then issues one scatter-add into the table
+                    # instead of two + a dense [N, d] add_any (profiled at
+                    # 25% of the step time)
+                    b = pos.shape[0]
+                    er = p["ent_embeds"][
+                        jnp.concatenate([pos[:, 0], pos[:, 2]])]
+                    rr = p["rel_embeds"][pos[:, 1]]
+                    if self.args.ent_l2_norm:
+                        er = l2_normalize(er)
+                    if self.args.rel_l2_norm:
+                        rr = l2_normalize(rr)
+                    return L.positive_loss(er[:b], rr, er[b:], "L2",
+                                           pos_w=pos_w)
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state = opt.update(grads, opt_state, params)
