@@ -295,3 +295,33 @@ def test_bf16_eval_close_to_f32():
                                       compute_dtype="bfloat16")
     assert abs(h32 - h16) < 3.0
     assert abs(m32 - m16) < 0.03
+
+
+@pytest.mark.slow
+def test_cli_mesh_mode(tmp_path):
+    """mode 'mesh' trains a preset unmodified on the device mesh: tables
+    row-sharded, sharded eval — the full multi-chip CLI path."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from openea_tpu.data.synthetic import write_kg_pair_folder
+    from openea_tpu.cli.main_from_args import main
+    import json
+
+    ds = tmp_path / "ds" / "SYN"
+    write_kg_pair_folder(str(ds), num_entities=150, num_relations=5,
+                         num_triples=700, seed=3)
+    preset = {
+        "training_data": str(tmp_path / "ds") + "/",
+        "output": str(tmp_path / "out") + "/",
+        "dataset_division": "721_5fold/1/",
+        "embedding_module": "MTransE", "alignment_module": "mapping",
+        "dim": 16, "init": "unit", "ent_l2_norm": True, "rel_l2_norm": True,
+        "loss_norm": "L2", "learning_rate": 0.02, "optimizer": "Adagrad",
+        "max_epoch": 4, "batch_size": 300, "alpha": 5,
+        "start_valid": 2, "eval_freq": 2, "eval_metric": "inner",
+        "eval_norm": True, "csls": 2, "top_k": [1, 5], "seed": 0,
+    }
+    pf = tmp_path / "preset.json"
+    pf.write_text(json.dumps(preset))
+    assert main([str(pf), "SYN", "721_5fold/1/", "mesh"]) == 0
