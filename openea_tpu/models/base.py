@@ -35,7 +35,9 @@ from openea_tpu.ops.initializers import init_embeddings, l2_normalize, orthogona
 from openea_tpu.ops.matching import stable_alignment
 from openea_tpu.ops.neighbors import build_neighbor_table
 from openea_tpu.ops.optim import get_optimizer
-from openea_tpu.ops.sampling import NeighborTable, corrupt_batch, proportional_batch_sizes
+from openea_tpu.ops.sampling import (NeighborTable, corrupt_batch,
+                                     corrupt_batch_structured,
+                                     proportional_batch_sizes)
 from openea_tpu.ops.similarity import sim as sim_matrix
 from openea_tpu.utils import generate_out_folder
 
@@ -304,8 +306,38 @@ class BasicModel:
         opt = self.opt
         lr = float(self.args.learning_rate)
         ent_norm, rel_norm = self.args.ent_l2_norm, self.args.rel_l2_norm
-        sparse = (self._sparse_updates_ok()
-                  and type(self)._triple_loss is BasicModel._triple_loss)
+        template_loss = type(self)._triple_loss is BasicModel._triple_loss
+        sparse = self._sparse_updates_ok() and template_loss
+        # structured negatives: rebuild the uncorrupted side as
+        # jnp.repeat of the positive rows (backward = static reshape-sum)
+        # so the entity scatter-add receives 2B+BK rows instead of
+        # 2B+2BK and loses its K-way-duplicated rows — same draws, same
+        # negatives, same loss (corrupt_batch_structured)
+        structured = (template_loss and not sparse
+                      and bool(self.args.get("structured_neg", True)))
+
+        def structured_step(params, opt_state, pos, cor, coin, pos_w, neg_w):
+            b = pos.shape[0]
+
+            def loss_fn(p):
+                er = p["ent_embeds"][
+                    jnp.concatenate([pos[:, 0], pos[:, 2], cor])]
+                rr = p["rel_embeds"][pos[:, 1]]
+                if ent_norm:
+                    er = l2_normalize(er)
+                if rel_norm:
+                    rr = l2_normalize(rr)
+                ph, pt, cr = er[:b], er[b:2 * b], er[2 * b:]
+                rep = lambda x: jnp.repeat(x, num_neg, axis=0)
+                nh = jnp.where(coin[:, None], cr, rep(ph))
+                nt = jnp.where(coin[:, None], rep(pt), cr)
+                return L.get_loss_func(ph, rr, pt, nh, rep(rr), nt,
+                                       self.args, pos_w=pos_w, neg_w=neg_w)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
 
         def sparse_step(params, opt_state, pos, neg, pos_w, neg_w):
             """Row-gradient step + touched-row Adagrad — same math as the
@@ -356,17 +388,50 @@ class BasicModel:
             t2s, w2s = t2[p2].reshape(steps, bs2, 3), w2[p2].reshape(steps, bs2)
             step_keys = jax.random.split(kscan, steps)
 
+            if structured:
+                # sample EVERY step's negatives before the scan: the
+                # per-step neighbor-table picks are 100K-element random
+                # gathers that run latency-bound inside the loop (~1.2 ms
+                # each, 4/step at 100K scale); one vmapped gather over all
+                # steps runs at throughput.  Same keys, same draws.
+                sks = jax.vmap(lambda k: jax.random.split(k, 3))(step_keys)
+                cor1s, coin1s = jax.vmap(
+                    lambda k, p: corrupt_batch_structured(
+                        k, p, num_neg, ents1_c, neigh1))(sks[:, 0], t1s)
+                cor2s, coin2s = jax.vmap(
+                    lambda k, p: corrupt_batch_structured(
+                        k, p, num_neg, ents2_c, neigh2))(sks[:, 1], t2s)
+
+                def step_structured(carry, xs):
+                    params, opt_state = carry
+                    pos1, w1b, pos2, w2b, cor1, coin1, cor2, coin2 = xs
+                    pos = jnp.concatenate([pos1, pos2], axis=0)
+                    pos_w = jnp.concatenate([w1b, w2b], axis=0)
+                    neg_w = jnp.concatenate([jnp.repeat(w1b, num_neg),
+                                             jnp.repeat(w2b, num_neg)], axis=0)
+                    params, opt_state, loss = structured_step(
+                        params, opt_state, pos,
+                        jnp.concatenate([cor1, cor2]),
+                        jnp.concatenate([coin1, coin2]), pos_w, neg_w)
+                    return (params, opt_state), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    step_structured, (params, opt_state),
+                    (t1s, w1s, t2s, w2s, cor1s, coin1s, cor2s, coin2s))
+                return params, opt_state, jnp.sum(losses)
+
             def step(carry, xs):
                 params, opt_state = carry
                 pos1, w1b, pos2, w2b, sk = xs
                 sk1, sk2, sk3 = jax.random.split(sk, 3)
-                neg1 = corrupt_batch(sk1, pos1, num_neg, ents1_c, neigh1)
-                neg2 = corrupt_batch(sk2, pos2, num_neg, ents2_c, neigh2)
                 pos = jnp.concatenate([pos1, pos2], axis=0)
                 pos_w = jnp.concatenate([w1b, w2b], axis=0)
-                neg = jnp.concatenate([neg1, neg2], axis=0)
                 neg_w = jnp.concatenate(
                     [jnp.repeat(w1b, num_neg), jnp.repeat(w2b, num_neg)], axis=0)
+
+                neg1 = corrupt_batch(sk1, pos1, num_neg, ents1_c, neigh1)
+                neg2 = corrupt_batch(sk2, pos2, num_neg, ents2_c, neigh2)
+                neg = jnp.concatenate([neg1, neg2], axis=0)
 
                 if sparse:
                     params, opt_state, loss = sparse_step(

@@ -153,8 +153,31 @@ def test_sparse_updates_match_dense():
                 neg_margin_balance=0.2, learning_rate=0.05, neg_triple_num=4,
                 eval_norm=True)
     a1, _ = run_model("AlignE", "swapping", epochs=20, sparse_updates=True,
+                      structured_neg=False, **kw_a)
+    a2, _ = run_model("AlignE", "swapping", epochs=20, structured_neg=False,
                       **kw_a)
-    a2, _ = run_model("AlignE", "swapping", epochs=20, **kw_a)
     np.testing.assert_allclose(np.asarray(a1.params["ent_embeds"]),
                                np.asarray(a2.params["ent_embeds"]),
                                rtol=1e-4, atol=2e-5)
+
+
+def test_structured_negatives_match_legacy_path():
+    """structured_neg (uncorrupted side rebuilt via jnp.repeat; scatter
+    gets 2B+BK rows) trains identically to the legacy neg-triple path."""
+    kw = dict(init="normal", optimizer="Adagrad", eval_metric="inner",
+              ent_l2_norm=True, rel_l2_norm=True, loss="limited",
+              neg_sampling="truncated", truncated_epsilon=0.9,
+              truncated_freq=10, pos_margin=0.01, neg_margin=2.0,
+              neg_margin_balance=0.2, learning_rate=0.05, neg_triple_num=4,
+              eval_norm=True)
+    a1, _ = run_model("AlignE", "swapping", epochs=6, **kw)
+    a2, _ = run_model("AlignE", "swapping", epochs=6, structured_neg=False,
+                      **kw)
+    # identical math; only fp reassociation separates the paths (1 epoch
+    # agrees to ~1e-7, then Adagrad-rsqrt chaos amplifies slowly)
+    np.testing.assert_allclose(np.asarray(a1.params["ent_embeds"]),
+                               np.asarray(a2.params["ent_embeds"]),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(a1.params["rel_embeds"]),
+                               np.asarray(a2.params["rel_embeds"]),
+                               atol=5e-5)
