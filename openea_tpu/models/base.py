@@ -583,7 +583,7 @@ class BasicModel:
                 and cls._mapping_for_eval is BasicModel._mapping_for_eval
                 and self.args.eval_metric in ("inner", "cosine", "euclidean",
                                               "manhattan", "cityblock")
-                and not self.args.get("compute_dtype"))
+                and self.args.get("compute_dtype") in (None, "float32"))
 
     def _make_super_valid_fn(self, k: int, use_tables: bool):
         """Super-step + fused quick-valid: K epochs, then the quick

@@ -95,6 +95,8 @@ def test_fused_valid_matches_separate_path():
               epochs_per_call=5, start_valid=5, eval_freq=5,
               stop_metric="hits1")
     m1, _ = run_model("MTransE", "mapping", epochs=20, **kw)
+    assert any(k[0] == "superv" for k in m1._epoch_fn_cache
+               if isinstance(k, tuple)), "fused-valid path never fired"
     orig = B.BasicModel._can_fuse_valid
     B.BasicModel._can_fuse_valid = lambda self: False
     try:
@@ -118,6 +120,8 @@ def test_multiwin_fused_matches_separate_path():
               epochs_per_call=5, start_valid=5, eval_freq=5,
               stop_metric="hits1")
     m1, _ = run_model("MTransE", "mapping", epochs=400, **kw)
+    assert any(k[0] == "multiwin" for k in m1._epoch_fn_cache
+               if isinstance(k, tuple)), "multiwin path never fired"
     orig = B.BasicModel._can_fuse_valid
     B.BasicModel._can_fuse_valid = lambda self: False
     try:
