@@ -135,11 +135,17 @@ def main():
     _note("train done ({:.1f}s)".format(train_s))
 
     _partial["phase"] = "eval"
-    from openea_tpu.eval.evaluation import test as eval_test
+    from openea_tpu.ops.ranking import metrics_from_ranks, rank_and_argmax_both
+    import jax.numpy as jnp
     e1, e2, mapping = model._eval_test_embeddings()
-    _, hits1, mrr = eval_test(e1, e2, mapping, args.top_k,
-                              metric=args.eval_metric, normalize=args.eval_norm,
-                              csls_k=0, accurate=True)
+    # both metric families from ONE blocked pass + round trip
+    e1m = jnp.asarray(e1) @ jnp.asarray(mapping)
+    gold = jnp.arange(e1m.shape[0], dtype=jnp.int32)
+    ranks, _, ranks_c, _ = rank_and_argmax_both(
+        e1m, jnp.asarray(e2), gold, metric=args.eval_metric,
+        normalize=args.eval_norm, csls_k=args.csls)
+    hits, _, mrr = metrics_from_ranks(ranks, args.top_k)
+    hits1 = hits[0]
     _partial["hits1"] = hits1
     _partial["mrr"] = round(mrr, 4)
     total_s = time.time() - t0
@@ -147,10 +153,8 @@ def main():
     _partial["vs_baseline"] = round(BASELINE_MTRANSE_15K_S / total_s, 3)
 
     _partial["phase"] = "eval_csls"
-    _, hits1_csls, mrr_csls = eval_test(e1, e2, mapping, args.top_k,
-                                        metric=args.eval_metric,
-                                        normalize=args.eval_norm,
-                                        csls_k=args.csls, accurate=True)
+    hits_c, _, mrr_csls = metrics_from_ranks(ranks_c, args.top_k)
+    hits1_csls = hits_c[0]
     total_s = time.time() - t0
     _note("eval done, total {:.1f}s".format(total_s))
 

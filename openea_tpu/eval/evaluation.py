@@ -103,6 +103,51 @@ def test(embeds1, embeds2, mapping, top_k, threads_num=1, metric="inner",
     return alignment_rest_12, hits1_12, mrr_12
 
 
+def test_both(embeds1, embeds2, mapping, top_k, threads_num=1,
+              metric="inner", normalize=False, csls_k=10,
+              compute_dtype=None, mesh=None):
+    """test() with BOTH metric families (plain + CSLS) from one blocked
+    similarity pass and one device round trip; prints the reference's
+    two 'accurate results' lines.  Returns (alignment_rest_12, hits1,
+    mrr) of the plain metrics, like test(csls_k=0)."""
+    if mesh is not None or csls_k <= 0 or (
+            metric in ("manhattan", "cityblock")):
+        # sharded / fused-kernel paths keep the two-call form
+        rest_12, hits1, mrr = test(embeds1, embeds2, mapping, top_k,
+                                   threads_num, metric, normalize, 0, True,
+                                   compute_dtype, mesh)
+        if csls_k > 0:
+            test(embeds1, embeds2, mapping, top_k, threads_num, metric,
+                 normalize, csls_k, True, compute_dtype, mesh)
+        return rest_12, hits1, mrr
+    from openea_tpu.ops.ranking import rank_and_argmax_both
+    t = time.time()
+    if mapping is not None:
+        embeds1 = jnp.asarray(embeds1) @ jnp.asarray(mapping)
+    if compute_dtype == "bfloat16" and metric in ("inner", "cosine"):
+        embeds1 = jnp.asarray(embeds1, jnp.bfloat16)
+        embeds2 = jnp.asarray(embeds2, jnp.bfloat16)
+    n1 = embeds1.shape[0]
+    gold = jnp.arange(n1, dtype=jnp.int32)
+    ranks, best, ranks_c, best_c = rank_and_argmax_both(
+        jnp.asarray(embeds1), jnp.asarray(embeds2), gold, metric=metric,
+        normalize=normalize, csls_k=csls_k)
+    ranks = np.asarray(ranks)
+    best = np.asarray(best)
+    hits, mr, mrr = metrics_from_ranks(ranks, top_k)
+    cost = time.time() - t
+    print("accurate results: hits@{} = {}%, mr = {:.3f}, mrr = {:.6f}, "
+          "time = {:.3f} s ".format(top_k, np.array(hits), mr, mrr, cost))
+    t2 = time.time()
+    hits_c, mr_c, mrr_c = metrics_from_ranks(np.asarray(ranks_c), top_k)
+    print("accurate results with csls: csls={}, hits@{} = {}%, mr = {:.3f}, "
+          "mrr = {:.6f}, time = {:.3f} s ".format(
+              csls_k, top_k, np.array(hits_c), mr_c, mrr_c,
+              time.time() - t2))
+    alignment_rest_12 = set(zip(range(n1), best.tolist()))
+    return alignment_rest_12, hits[0], mrr
+
+
 def early_stop(flag1, flag2, flag):
     """Stop when the metric fell twice in a row (reference evaluation.py:28)."""
     if flag <= flag2 <= flag1:

@@ -1106,15 +1106,13 @@ class BasicModel:
         return hits1 if stop_metric == "hits1" else mrr
 
     def test(self, save: bool = True):
+        from openea_tpu.eval.evaluation import test_both
         e1, e2, mapping = self._eval_test_embeddings()
         mesh = self._eval_mesh()
-        rest_12, _, _ = eval_test(e1, e2, mapping, self.args.top_k,
+        rest_12, _, _ = test_both(e1, e2, mapping, self.args.top_k,
                                   metric=self.args.eval_metric,
                                   normalize=self.args.eval_norm,
-                                  csls_k=0, accurate=True, mesh=mesh)
-        eval_test(e1, e2, mapping, self.args.top_k,
-                  metric=self.args.eval_metric, normalize=self.args.eval_norm,
-                  csls_k=self.args.csls, accurate=True, mesh=mesh)
+                                  csls_k=self.args.csls, mesh=mesh)
         if save:
             pairs = [(self.kgs.test_entities1[i], self.kgs.test_entities2[j])
                      for i, j in rest_12]

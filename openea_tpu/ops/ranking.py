@@ -80,6 +80,58 @@ def rank_and_argmax(embed1: jax.Array, embed2: jax.Array,
     return ranks.reshape(-1)[:n1], best.reshape(-1)[:n1]
 
 
+@partial(jax.jit, static_argnames=("metric", "normalize", "csls_k", "block"))
+def rank_and_argmax_both(embed1: jax.Array, embed2: jax.Array,
+                         gold_cols: jax.Array, metric: str = "inner",
+                         normalize: bool = False, csls_k: int = 10,
+                         block: int = 4096):
+    """Plain AND CSLS exact ranks in ONE blocked similarity pass:
+    (ranks, best, ranks_csls, best_csls).  The reference's test() prints
+    both metric families (alignment.py:69-80); computing them together
+    halves the similarity FLOPs and the device round trips."""
+    embed1 = jnp.asarray(embed1)
+    embed2 = jnp.asarray(embed2)
+    if normalize:
+        embed1 = l2_normalize(embed1)
+        embed2 = l2_normalize(embed2)
+        metric = "inner" if metric == "cosine" else metric
+
+    r1 = blocked_row_topk_means(embed1, embed2, csls_k, block, metric, False)
+    r2 = blocked_row_topk_means(embed2, embed1, csls_k, block, metric, False)
+
+    n1, n2 = embed1.shape[0], embed2.shape[0]
+    nb = -(-n1 // block)
+    pad = nb * block - n1
+    e1p = jnp.concatenate([embed1, jnp.zeros((pad, embed1.shape[1]),
+                                             embed1.dtype)]) if pad else embed1
+    goldp = jnp.concatenate([gold_cols.astype(jnp.int32),
+                             jnp.zeros((pad,), jnp.int32)]) if pad \
+        else gold_cols.astype(jnp.int32)
+    r1p = jnp.concatenate([r1, jnp.zeros((pad,), r1.dtype)]) if pad else r1
+    col_idx = jnp.arange(n2, dtype=jnp.int32)
+
+    def rank_of(s, gold):
+        gold_val = jnp.take_along_axis(s, gold[:, None], axis=1)
+        greater = jnp.sum((s > gold_val).astype(jnp.int32), axis=1)
+        ties = jnp.sum(((s == gold_val)
+                        & (col_idx[None, :] < gold[:, None])).astype(jnp.int32),
+                       axis=1)
+        return greater + ties, jnp.argmax(s, axis=1).astype(jnp.int32)
+
+    def one(args):
+        rows, gold, r1b = args
+        s = _pairwise(rows, embed2, metric, False)
+        rk, best = rank_of(s, gold)
+        rk_c, best_c = rank_of(2.0 * s - r1b[:, None] - r2[None, :], gold)
+        return rk, best, rk_c, best_c
+
+    ranks, best, ranks_c, best_c = jax.lax.map(
+        one, (e1p.reshape(nb, block, e1p.shape[1]),
+              goldp.reshape(nb, block), r1p.reshape(nb, block)))
+    return (ranks.reshape(-1)[:n1], best.reshape(-1)[:n1],
+            ranks_c.reshape(-1)[:n1], best_c.reshape(-1)[:n1])
+
+
 def metrics_from_ranks(rank_index, top_k) -> Tuple[list, float, float]:
     """Hits@k (%, rounded to 3 like the reference), MR, MRR from 0-based
     rank indices."""

@@ -204,3 +204,27 @@ def test_sparse_adagrad_apply_matches_dense_optax():
             rtol=1e-5, atol=1e-6)
         params, state = dense_params, state2
         row_g = row_g * 0.7 + 0.1
+
+
+def test_rank_and_argmax_both_matches_separate_calls():
+    import jax.numpy as jnp
+    from openea_tpu.ops.ranking import rank_and_argmax, rank_and_argmax_both
+    rng = np.random.RandomState(1)
+    e1 = rng.randn(137, 24).astype(np.float32)
+    e2 = rng.randn(150, 24).astype(np.float32)
+    e2[:137] = e1 + 0.2 * rng.randn(137, 24)
+    gold = np.arange(137, dtype=np.int32)
+    for metric, norm in [("inner", True), ("euclidean", False)]:
+        r0, b0 = rank_and_argmax(jnp.asarray(e1), jnp.asarray(e2),
+                                 jnp.asarray(gold), metric=metric,
+                                 normalize=norm, csls_k=0, block=64)
+        rc, bc = rank_and_argmax(jnp.asarray(e1), jnp.asarray(e2),
+                                 jnp.asarray(gold), metric=metric,
+                                 normalize=norm, csls_k=5, block=64)
+        r, b, r2, b2 = rank_and_argmax_both(
+            jnp.asarray(e1), jnp.asarray(e2), jnp.asarray(gold),
+            metric=metric, normalize=norm, csls_k=5, block=64)
+        assert np.array_equal(np.asarray(r0), np.asarray(r))
+        assert np.array_equal(np.asarray(b0), np.asarray(b))
+        assert np.array_equal(np.asarray(rc), np.asarray(r2))
+        assert np.array_equal(np.asarray(bc), np.asarray(b2))
