@@ -77,6 +77,7 @@ def test_gcn_align_no_attributes_falls_back_to_se():
     assert hits1 > 10.0
 
 
+@pytest.mark.slow
 def test_gcn_align_mesh_training_matches_single_device():
     """GCN-Align trains on the 8-device mesh via boundary-exchange SpMM
     (use_mesh=True) with the same math as single-device — the BASELINE

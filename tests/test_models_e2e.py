@@ -134,6 +134,7 @@ def test_multiwin_fused_matches_separate_path():
                                np.asarray(m2.params["ent_embeds"]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sparse_updates_match_dense():
     """sparse_updates=True (touched-row Adagrad) trains identically to
     the dense optax path for MTransE (positive + mapping epochs) and
