@@ -319,7 +319,8 @@ def test_ring_rank_and_argmax_matches_single_device():
     for n1, n2, csls, metric, norm in [(123, 171, 0, "inner", True),
                                        (333, 500, 5, "inner", True),
                                        (256, 300, 10, "euclidean", False),
-                                       (64, 80, 3, "cosine", False)]:
+                                       (64, 80, 3, "cosine", False),
+                                       (48, 64, 2, "manhattan", False)]:
         e1 = rng.randn(n1, 24).astype(np.float32)
         e2 = rng.randn(n2, 24).astype(np.float32)
         e2[:n1] = e1 + 0.1 * rng.randn(n1, 24)
