@@ -8,7 +8,7 @@
 # -s scale: 15K | 100K
 # -d datasets (space-separated folder names under the data root)
 # -f folds (721_5fold splits)
-# -o mode: full | test | rev | wo_attr
+# -o mode: full | test | rev | wo_attr | mesh (multi-chip)
 # -l log dir
 set -u
 

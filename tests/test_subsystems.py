@@ -325,3 +325,28 @@ def test_cli_mesh_mode(tmp_path):
     pf = tmp_path / "preset.json"
     pf.write_text(json.dumps(preset))
     assert main([str(pf), "SYN", "721_5fold/1/", "mesh"]) == 0
+
+
+def test_test_both_log_lines_parse(capsys):
+    """test_both's two 'accurate results' lines keep the reference format
+    statistics.parse_log consumes."""
+    from openea_tpu.eval.evaluation import test_both
+    from openea_tpu import statistics
+    rng = np.random.RandomState(0)
+    e1 = rng.randn(60, 16).astype(np.float32)
+    e2 = e1 + 0.1 * rng.randn(60, 16).astype(np.float32)
+    rest, hits1, mrr = test_both(e1, e2, None, [1, 5], metric="inner",
+                                 normalize=True, csls_k=3)
+    out = capsys.readouterr().out
+    assert "accurate results: hits@" in out
+    assert "accurate results with csls: csls=3" in out
+    import tempfile, os
+    with tempfile.NamedTemporaryFile("w", suffix=".log", delete=False) as f:
+        f.write(out)
+        path = f.name
+    parsed = statistics.parse_log(path)
+    os.unlink(path)
+    assert parsed["plain"] is not None and parsed["csls"] is not None
+    assert parsed["plain"]["hits"][0] == hits1
+    assert parsed["csls"]["mrr"] > 0
+    assert len(rest) == 60
