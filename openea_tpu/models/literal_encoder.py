@@ -154,19 +154,39 @@ class AutoEncoder:
         self._step = step
 
     def train(self, epochs: int, batch_size: int):
+        """One jitted scan per epoch (the per-step float(loss) sync cost
+        a device round trip per batch — the dominant cost of MultiKE's
+        init at 15K scale); losses fetched only on print epochs."""
         n = len(self.data)
         bsz = min(batch_size, n)
+        nb = max(1, n // bsz)
+        body = jnp.asarray(self.data[:nb * bsz]).reshape(nb, bsz, -1)
+        tail = (jnp.asarray(self.data[nb * bsz:])
+                if n > nb * bsz else None)
+        step = self._step
+
+        @jax.jit
+        def epoch_fn(p, opt_state, batches):
+            def body_fn(carry, batch):
+                p, o = carry
+                p, o, loss = step(p, o, batch)
+                return (p, o), loss
+
+            (p, opt_state), losses = jax.lax.scan(body_fn, (p, opt_state),
+                                                  batches)
+            return p, opt_state, jnp.sum(losses)
+
         for ep in range(1, epochs + 1):
             t = time.time()
-            loss_sum = 0.0
-            for s in range(0, n, bsz):
-                batch = jnp.asarray(self.data[s:s + bsz])
-                self.params, self.opt_state, loss = self._step(
-                    self.params, self.opt_state, batch)
-                loss_sum += float(loss)
+            self.params, self.opt_state, loss_sum = epoch_fn(
+                self.params, self.opt_state, body)
+            if tail is not None:
+                self.params, self.opt_state, tl = self._step(
+                    self.params, self.opt_state, tail)
+                loss_sum = loss_sum + tl
             if ep % 20 == 0 or ep == 1:
                 print("epoch {} of literal encoder, loss: {:.4f}, time: "
-                      "{:.4f}s".format(ep, loss_sum, time.time() - t))
+                      "{:.4f}s".format(ep, float(loss_sum), time.time() - t))
 
     def encode_all(self, batch_size: int = 4096) -> np.ndarray:
         outs = []
