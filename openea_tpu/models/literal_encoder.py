@@ -160,8 +160,13 @@ class AutoEncoder:
         n = len(self.data)
         bsz = min(batch_size, n)
         nb = max(1, n // bsz)
-        body = jnp.asarray(self.data[:nb * bsz]).reshape(nb, bsz, -1)
-        tail = (jnp.asarray(self.data[nb * bsz:])
+        # one H2D upload, shared with encode_all (the [n, L*wv] literal
+        # matrix is ~0.5 GB at 15K scale; the tunnel re-upload was a
+        # large share of MultiKE's init time)
+        if not hasattr(self, "_data_dev"):
+            self._data_dev = jnp.asarray(self.data)
+        body = self._data_dev[:nb * bsz].reshape(nb, bsz, -1)
+        tail = (self._data_dev[nb * bsz:]
                 if n > nb * bsz else None)
         step = self._step
 
@@ -189,11 +194,14 @@ class AutoEncoder:
                       "{:.4f}s".format(ep, float(loss_sum), time.time() - t))
 
     def encode_all(self, batch_size: int = 4096) -> np.ndarray:
+        if not hasattr(self, "_data_dev"):
+            self._data_dev = jnp.asarray(self.data)
         outs = []
         for s in range(0, len(self.data), batch_size):
-            outs.append(np.asarray(self._encode(
-                self.params, jnp.asarray(self.data[s:s + batch_size]))))
-        return np.concatenate(outs, axis=0)
+            outs.append(self._encode(self.params,
+                                     self._data_dev[s:s + batch_size]))
+        # one blocking D2H at the end instead of one per batch
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)
 
 
 class LiteralEncoder:
