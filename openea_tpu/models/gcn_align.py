@@ -211,7 +211,7 @@ class GCN_Align(BasicModel):
         L2 = jax.nn.relu(D - B2)
         return (jnp.sum(L1) + jnp.sum(L2)) / (2.0 * k * t)
 
-    def _make_step_fn(self):
+    def _make_step_fn(self, jit: bool = True):
         gamma = float(self.args.gamma)
         k = int(self.args.neg_triple_num)
         links = self._train_links
@@ -232,18 +232,45 @@ class GCN_Align(BasicModel):
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return jax.jit(step, donate_argnums=(0, 1)) if jit else step
 
     # ------------------------------------------------------------------ #
     # training
     # ------------------------------------------------------------------ #
+
+    def _make_multi_step(self, n: int):
+        """n full-batch epochs in one device call (negatives fixed
+        between the 10-epoch resample boundaries)."""
+        step = self._make_step_fn(jit=False)
+
+        def multi(params, opt_state, neg_right, neg2_left):
+            def body(carry, _):
+                p, o = carry
+                p, o, loss = step(p, o, neg_right, neg2_left)
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=n)
+            return params, opt_state, losses
+
+        return jax.jit(multi, donate_argnums=(0, 1))
+
+    def _multi_fn(self, n: int):
+        self._multi_cache = getattr(self, "_multi_cache", {})
+        if n not in self._multi_cache:
+            self._multi_cache[n] = self._make_multi_step(n)
+        return self._multi_cache[n]
 
     def precompile(self):
         import time as _time
         t = _time.time()
         tk = self._train_links.shape[0] * int(self.args.neg_triple_num)
         dummy = jnp.zeros((tk,), jnp.int32)
-        self._step_fn.lower(self.params, self.opt_state, dummy, dummy).compile()
+        n = 10
+        if self.args.eval_freq:
+            n = min(n, int(self.args.eval_freq))
+        self._multi_fn(n).lower(self.params, self.opt_state, dummy,
+                                dummy).compile()
         print("precompile done in {:.1f} s".format(_time.time() - t))
 
     def _sample_negs(self):
@@ -259,20 +286,30 @@ class GCN_Align(BasicModel):
 
     def run(self):
         t0 = time.time()
+        a = self.args
+        epoch = 0
         neg_right = neg2_left = None
-        for i in range(1, self.args.max_epoch + 1):
+        while epoch < a.max_epoch:
             start = time.time()
-            if i % 10 == 1:
+            if epoch % 10 == 0:
                 neg_right, neg2_left = self._sample_negs()
-            self.params, self.opt_state, loss = self._step_fn(
+            # scan to the next resample / eval / max boundary in one call
+            n = min(10 - (epoch % 10), a.max_epoch - epoch)
+            if a.eval_freq:
+                n = min(n, a.eval_freq - (epoch % a.eval_freq))
+            self.params, self.opt_state, losses = self._multi_fn(n)(
                 self.params, self.opt_state, neg_right, neg2_left)
-            print("epoch {}, avg. relation triple loss: {:.4f}, cost time: "
-                  "{:.4f}s".format(i, float(loss), time.time() - start))
-            if i >= self.args.start_valid and i % self.args.eval_freq == 0:
-                flag = self.valid(self.args.stop_metric)
+            losses = np.asarray(losses)
+            dt = (time.time() - start) / n
+            for j in range(n):
+                print("epoch {}, avg. relation triple loss: {:.4f}, cost "
+                      "time: {:.4f}s".format(epoch + 1 + j, losses[j], dt))
+            epoch += n
+            if epoch >= a.start_valid and epoch % a.eval_freq == 0:
+                flag = self.valid(a.stop_metric)
                 self.flag1, self.flag2, self.early_stop = early_stop(
                     self.flag1, self.flag2, flag)
-                if self.early_stop or i == self.args.max_epoch:
+                if self.early_stop or epoch >= a.max_epoch:
                     break
         self.vec_se = np.asarray(self._unpad(self._forward_se(self.params)))
         if self.attr_sp is not None:

@@ -292,6 +292,24 @@ class RDGCN(BasicModel):
 
         return jax.jit(step, donate_argnums=(0, 1))
 
+    def _make_multi_step(self, n: int):
+        """n full-graph epochs in ONE device call (negatives are fixed
+        between remine boundaries, so the scan body is identical; the
+        per-epoch dispatch + loss sync cost a tunnel round trip each)."""
+        step = self._make_step()
+
+        def multi(params, opt_state, neg_right, neg2_left):
+            def body(carry, _):
+                p, o = carry
+                p, o, loss = step(p, o, neg_right, neg2_left)
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=n)
+            return params, opt_state, losses
+
+        return jax.jit(multi, donate_argnums=(0, 1))
+
     def _nearest_negatives(self, out, anchor_ids, k: int):
         """cityblock-nearest entity ids per anchor (reference get_neg),
         via the streaming blocked top-k (bounded memory at 15K+)."""
@@ -305,11 +323,16 @@ class RDGCN(BasicModel):
 
     def precompile(self):
         t = time.time()
-        if self._step is None:
-            self._step = self._make_step()
         tk = self._links.shape[0] * int(self.args.neg_triple_num)
         dummy = jnp.zeros((tk,), jnp.int32)
-        self._step.lower(self.params, self.opt_state, dummy, dummy).compile()
+        n = 10
+        if self.args.eval_freq:
+            n = min(n, int(self.args.eval_freq))
+        self._multi_cache = getattr(self, "_multi_cache", {})
+        if n not in self._multi_cache:
+            self._multi_cache[n] = self._make_multi_step(n)
+        self._multi_cache[n].lower(self.params, self.opt_state, dummy,
+                                   dummy).compile()
         print("precompile done in {:.1f} s".format(time.time() - t))
 
     def run(self):
@@ -319,24 +342,36 @@ class RDGCN(BasicModel):
         links = np.asarray(self.kgs.train_links_array)
         if self._step is None:
             self._step = self._make_step()
-        neg_right = neg2_left = None
-        for i in range(1, a.max_epoch + 1):
+        self._multi_cache = getattr(self, "_multi_cache", {})
+        epoch = 0
+        while epoch < a.max_epoch:
             start = time.time()
-            if i % 10 == 1:
+            if epoch % 10 == 0:
                 out = self._forward(self.params)
                 neg_right = jnp.asarray(
                     self._nearest_negatives(out, links[:, 0], k))
                 neg2_left = jnp.asarray(
                     self._nearest_negatives(out, links[:, 1], k))
-            self.params, self.opt_state, loss = self._step(
+            # run to the next negative-remine / eval / max boundary in one
+            # jitted scan (fixed negatives between boundaries)
+            n = min(10 - (epoch % 10), a.max_epoch - epoch)
+            if a.eval_freq:
+                n = min(n, a.eval_freq - (epoch % a.eval_freq))
+            if n not in self._multi_cache:
+                self._multi_cache[n] = self._make_multi_step(n)
+            self.params, self.opt_state, losses = self._multi_cache[n](
                 self.params, self.opt_state, neg_right, neg2_left)
-            print("epoch {}, avg. relation triple loss: {:.4f}, cost time: "
-                  "{:.4f}s".format(i, float(loss), time.time() - start))
-            if i >= a.start_valid and i % a.eval_freq == 0:
+            losses = np.asarray(losses)
+            dt = (time.time() - start) / n
+            for j in range(n):
+                print("epoch {}, avg. relation triple loss: {:.4f}, cost "
+                      "time: {:.4f}s".format(epoch + 1 + j, losses[j], dt))
+            epoch += n
+            if epoch >= a.start_valid and epoch % a.eval_freq == 0:
                 flag = self.valid(a.stop_metric)
                 self.flag1, self.flag2, self.early_stop = early_stop(
                     self.flag1, self.flag2, flag)
-                if self.early_stop or i == a.max_epoch:
+                if self.early_stop or epoch >= a.max_epoch:
                     break
         print("Training ends. Total time = {:.3f} s.".format(time.time() - t0))
 
