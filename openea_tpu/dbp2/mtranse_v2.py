@@ -173,13 +173,17 @@ class MTransEV2(BasicModel):
         neg_bsz = bsz * int(a.mapping_neg_num)
         rng = self._np_rng
         k = min(bsz, len(links))
-        lbs = np.stack([links[rng.choice(len(links), k, replace=False)]
-                        for _ in range(steps)])
-        r1s = np.stack([self._kg1_ents[rng.randint(0, len(self._kg1_ents),
-                                                   neg_bsz)]
-                        for _ in range(steps)])
-        r2s = np.stack([self._cand2_train[rng.randint(
-            0, len(self._cand2_train), neg_bsz)] for _ in range(steps)])
+        # draw (lb, r1, r2) per step in the ORIGINAL interleaved order so
+        # the np RNG stream — and therefore every batch — matches the
+        # previous per-step loop exactly
+        lbs, r1s, r2s = [], [], []
+        for _ in range(steps):
+            lbs.append(links[rng.choice(len(links), k, replace=False)])
+            r1s.append(self._kg1_ents[rng.randint(0, len(self._kg1_ents),
+                                                  neg_bsz)])
+            r2s.append(self._cand2_train[rng.randint(
+                0, len(self._cand2_train), neg_bsz)])
+        lbs, r1s, r2s = np.stack(lbs), np.stack(r1s), np.stack(r2s)
         self.params, self.map_opt_state, loss_sum = self._map_epoch_c(
             self.params, self.map_opt_state, jnp.asarray(lbs),
             jnp.asarray(r1s), jnp.asarray(r2s))

@@ -42,10 +42,11 @@ def greedy_alignment(embed1, embed2, top_k, nums_threads=1, metric="inner",
     if mesh is not None:
         from openea_tpu.parallel.eval_sharded import (
             ring_rank_and_argmax, sharded_rank_and_argmax)
-        # past ~1M candidates the replicated block itself gets heavy:
-        # switch to the 2-D ring form (both axes sharded, candidate blocks
+        # past ~2M candidates the replicated block itself gets heavy
+        # (each device holds all n2 rows regardless of mesh size): switch
+        # to the 2-D ring form (both axes sharded, candidate blocks
         # rotate over ICI via ppermute; [n1/S, n2/S] peak per device)
-        if int(embed2.shape[0]) * mesh.size >= 2_000_000:
+        if int(embed2.shape[0]) >= 2_000_000:
             ranks, best = ring_rank_and_argmax(
                 mesh, embed1, embed2, np.asarray(gold), metric=metric,
                 normalize=normalize, csls_k=csls_k, block=min(block, 2048))

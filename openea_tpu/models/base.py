@@ -585,11 +585,12 @@ class BasicModel:
                                               "manhattan", "cityblock")
                 and self.args.get("compute_dtype") in (None, "float32"))
 
-    def _make_super_valid_fn(self, k: int, use_tables: bool):
-        """Super-step + fused quick-valid: K epochs, then the quick
-        ranking eval (reference finding/evaluation.py:6 'valid'), all in
-        ONE jitted call returning (params, opts, losses, hits@top_k, mr,
-        mrr) — one device dispatch and one host fetch per eval window."""
+    def _make_window_fn(self, k: int, use_tables: bool):
+        """Shared builder for the fused paths: k epochs + the on-device
+        quick-valid ranking (hits rounded to 3 decimals on device so the
+        early-stop flag representation is identical across every fused
+        form).  Returns one_window(params, opt_state, map_state, wk,
+        data) -> (params, opt_state, map_state, tls, mls, hits, mr, mrr)."""
         triple_raw = self._make_epoch_fn(use_tables)
         with_mapping = self._uses_mapping()
         map_raw = self._make_mapping_epoch_fn() if with_mapping else None
@@ -605,68 +606,6 @@ class BasicModel:
         metric = args.eval_metric
         eval_norm = bool(args.eval_norm)
         ent_norm = bool(args.ent_l2_norm)
-        from openea_tpu.ops.ranking import rank_and_argmax
-
-        def multi(params, opt_state, map_state, key, t1, w1, t2, w2, n1, n2):
-            def body(carry, ek):
-                p, o, m = carry
-                k1, k2 = jax.random.split(ek)
-                p, o, tl = triple_raw(p, o, k1, t1, w1, t2, w2, n1, n2)
-                if map_raw is not None:
-                    p, m, ml = map_raw(p, m, k2)
-                else:
-                    ml = jnp.zeros(())
-                return (p, o, m), (tl, ml)
-
-            keys = jax.random.split(key, k)
-            (params, opt_state, map_state), (tls, mls) = jax.lax.scan(
-                body, (params, opt_state, map_state), keys)
-            ent = params["ent_embeds"]
-            if ent_norm:
-                ent = l2_normalize(ent)
-            e1 = ent[idx1]
-            e2 = ent[idx2]
-            m = params.get("mapping_mat")
-            if m is not None:
-                e1 = e1 @ m
-            gold = jnp.arange(idx1.shape[0], dtype=jnp.int32)
-            ranks, _ = rank_and_argmax(e1, e2, gold, metric=metric,
-                                       normalize=eval_norm, csls_k=0)
-            n = ranks.shape[0]
-            hits = (jnp.stack([jnp.sum(ranks < kk) for kk in top_k])
-                    .astype(jnp.float32) / n * 100.0)
-            mr = jnp.mean((ranks + 1).astype(jnp.float32))
-            mrr = jnp.mean(1.0 / (ranks + 1).astype(jnp.float32))
-            return params, opt_state, map_state, tls, mls, hits, mr, mrr
-
-        return jax.jit(multi, donate_argnums=(0, 1, 2))
-
-    _MULTIWIN = 8   # eval windows fused per device call (one compile)
-
-    def _make_multiwin_fn(self, k: int, W: int, use_tables: bool):
-        """W eval windows (k epochs + quick valid each) in ONE device
-        call with ON-DEVICE early stopping: after a window's eval decides
-        'stop', lax.cond freezes params/opt/flags so later windows are
-        skipped — exactly the host loop's semantics (the declined params
-        are kept, reference basic_model.py:252-290), at 1/W of the host
-        round trips.  The PRNG key advances one split per window, so
-        results are bit-identical to W separate fused calls."""
-        triple_raw = self._make_epoch_fn(use_tables)
-        with_mapping = self._uses_mapping()
-        map_raw = self._make_mapping_epoch_fn() if with_mapping else None
-        kgs, args = self.kgs, self.args
-        if len(kgs.valid_links) > 0:
-            idx1 = jnp.asarray(kgs.valid_entities1, jnp.int32)
-            idx2 = jnp.asarray(kgs.valid_entities2 + kgs.test_entities2,
-                               jnp.int32)
-        else:
-            idx1 = jnp.asarray(kgs.test_entities1, jnp.int32)
-            idx2 = jnp.asarray(kgs.test_entities2, jnp.int32)
-        top_k = tuple(args.top_k)
-        metric = args.eval_metric
-        eval_norm = bool(args.eval_norm)
-        ent_norm = bool(args.ent_l2_norm)
-        use_hits = args.stop_metric == "hits1"
         from openea_tpu.ops.ranking import rank_and_argmax
 
         def round3(x):
@@ -705,6 +644,35 @@ class BasicModel:
             mr = jnp.mean((ranks + 1).astype(jnp.float32))
             mrr = jnp.mean(1.0 / (ranks + 1).astype(jnp.float32))
             return params, opt_state, map_state, tls, mls, hits, mr, mrr
+
+        return one_window
+
+    def _make_super_valid_fn(self, k: int, use_tables: bool):
+        """Super-step + fused quick-valid: K epochs, then the quick
+        ranking eval (reference finding/evaluation.py:6 'valid'), all in
+        ONE jitted call returning (params, opts, losses, hits@top_k, mr,
+        mrr) — one device dispatch and one host fetch per eval window."""
+        one_window = self._make_window_fn(k, use_tables)
+
+        def multi(params, opt_state, map_state, key, t1, w1, t2, w2, n1, n2):
+            return one_window(params, opt_state, map_state, key,
+                              (t1, w1, t2, w2, n1, n2))
+
+        return jax.jit(multi, donate_argnums=(0, 1, 2))
+
+    _MULTIWIN = 8   # eval windows fused per device call (one compile)
+
+    def _make_multiwin_fn(self, k: int, W: int, use_tables: bool):
+        """W eval windows (k epochs + quick valid each) in ONE device
+        call with ON-DEVICE early stopping: after a window's eval decides
+        'stop', lax.cond freezes params/opt/flags so later windows are
+        skipped — exactly the host loop's semantics (the declined params
+        are kept, reference basic_model.py:252-290), at 1/W of the host
+        round trips.  The PRNG key advances one split per window, so
+        results are bit-identical to W separate fused calls."""
+        one_window = self._make_window_fn(k, use_tables)
+        top_k = tuple(self.args.top_k)
+        use_hits = self.args.stop_metric == "hits1"
 
         def multi(params, opt_state, map_state, key, f1, f2,
                   t1, w1, t2, w2, n1, n2):
@@ -816,12 +784,15 @@ class BasicModel:
                 print("epoch {}, avg. mapping loss: {:.4f}, cost time: "
                       "{:.4f}s".format(first_epoch + i, mls[i] / n_links, dt))
         t_e = time.time()
-        hits_r = np.array([round(float(h), 3) for h in np.asarray(hits)])
+        hits = np.asarray(hits)       # round3'd on device (f32)
+        hits_r = np.array([round(float(h), 3) for h in hits])
         mrr = float(mrr)
         # eval ran inside the fused call; the residual fetch is its cost
         print("quick results: hits@{} = {}%, time = {:.3f} s ".format(
             list(self.args.top_k), hits_r, time.time() - t_e))
-        return float(hits_r[0]) if self.args.stop_metric == "hits1" else mrr
+        # flag from the RAW device f32 so its representation is identical
+        # to the multiwin path's carried flags (early_stop uses <= equality)
+        return float(hits[0]) if self.args.stop_metric == "hits1" else mrr
 
     def launch_training_k_epo(self, first_epoch: int, k: int):
         start = time.time()

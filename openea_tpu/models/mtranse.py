@@ -39,7 +39,6 @@ class MTransE(BasicModel):
         def sparse_step(params, opt_state, pos, pos_w):
             """Row-gradient step + touched-row Adagrad (ops/optim.py):
             identical math to the dense optax step at O(batch*d) traffic."""
-            from openea_tpu.ops.initializers import l2_normalize
             from openea_tpu.ops.optim import (sparse_adagrad_apply,
                                               rss_state, replace_rss)
             b = pos.shape[0]

@@ -263,7 +263,7 @@ class RDGCN(BasicModel):
     # loss / negatives
     # ------------------------------------------------------------------ #
 
-    def _make_step(self):
+    def _make_step(self, jit: bool = True):
         a = self.args
         k = int(a.neg_triple_num)
         links = self._links
@@ -290,13 +290,13 @@ class RDGCN(BasicModel):
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return jax.jit(step, donate_argnums=(0, 1)) if jit else step
 
     def _make_multi_step(self, n: int):
         """n full-graph epochs in ONE device call (negatives are fixed
         between remine boundaries, so the scan body is identical; the
         per-epoch dispatch + loss sync cost a tunnel round trip each)."""
-        step = self._make_step()
+        step = self._make_step(jit=False)
 
         def multi(params, opt_state, neg_right, neg2_left):
             def body(carry, _):
@@ -340,8 +340,6 @@ class RDGCN(BasicModel):
         a = self.args
         k = int(a.neg_triple_num)
         links = np.asarray(self.kgs.train_links_array)
-        if self._step is None:
-            self._step = self._make_step()
         self._multi_cache = getattr(self, "_multi_cache", {})
         epoch = 0
         while epoch < a.max_epoch:

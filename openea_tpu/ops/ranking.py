@@ -89,6 +89,9 @@ def rank_and_argmax_both(embed1: jax.Array, embed2: jax.Array,
     (ranks, best, ranks_csls, best_csls).  The reference's test() prints
     both metric families (alignment.py:69-80); computing them together
     halves the similarity FLOPs and the device round trips."""
+    if csls_k <= 0:
+        raise ValueError("rank_and_argmax_both requires csls_k > 0 "
+                         "(use rank_and_argmax for plain-only ranking)")
     embed1 = jnp.asarray(embed1)
     embed2 = jnp.asarray(embed2)
     if normalize:
