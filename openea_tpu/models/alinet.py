@@ -527,14 +527,15 @@ class AliNet(BasicModel):
         step_fn = self._make_step_fn()
         for epoch in range(1, a.max_epoch + 1):
             start = time.time()
-            epoch_loss = 0.0
+            ep_losses = []
             for _ in range(steps):
                 pos, neg = self._sample_batches(a.batch_size)
                 self.key, k = jax.random.split(self.key)
                 self.params, self.opt_state, loss = step_fn(
                     self.params, self.opt_state, self.adj1, self.adj2,
                     self._att_metas, jnp.asarray(pos), jnp.asarray(neg), k)
-                epoch_loss += float(loss)
+                ep_losses.append(loss)   # sync once after the loop
+            epoch_loss = float(jnp.sum(jnp.stack(ep_losses)))
             print("epoch {}, loss: {:.4f}, cost time: {:.4f}s"
                   .format(epoch, epoch_loss, time.time() - start))
             if epoch % a.eval_freq == 0 and epoch >= a.start_valid:

@@ -377,13 +377,14 @@ class GMNN(BasicModel):
         for i in range(1, a.max_epoch + 1):
             start = time.time()
             order = rng.permutation(len(self._train_ex))
-            loss_sum = 0.0
+            losses = []
             for s in range(0, len(order) - bsz + 1, bsz):
                 b = self._train_ex[order[s:s + bsz]]
                 self.params, self.opt_state, loss = self._step_c(
                     self.params, self.opt_state, jnp.asarray(b[:, 0]),
                     jnp.asarray(b[:, 1]), jnp.asarray(b[:, 2]))
-                loss_sum += float(loss)
+                losses.append(loss)   # sync once after the loop
+            loss_sum = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
             print("epoch {}, avg. matching loss: {:.4f}, cost time: {:.4f}s"
                   .format(i, loss_sum, time.time() - start))
             if i >= a.start_valid and i % a.eval_freq == 0:

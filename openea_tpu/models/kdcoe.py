@@ -226,13 +226,14 @@ class KDCoE(BasicModel):
         num_batch = max(1, len(arr) // bsz)
         rng = np.random.RandomState(epoch)
         choices = rng.choice(len(arr), len(arr), replace=True)
-        loss_sum = 0.0
+        losses = []
         for i in range(num_batch):
             b = arr[choices[i * bsz:(i + 1) * bsz]]
             self.desc_params, self.desc_opt_state, loss = self._desc_step_c(
                 self.desc_params, self.desc_opt_state,
                 jnp.asarray(b[:, 0]), jnp.asarray(b[:, 1]))
-            loss_sum += float(loss)
+            losses.append(loss)   # device scalar; ONE sync after the loop
+        loss_sum = float(jnp.sum(jnp.stack(losses)))
         print("epoch {}, avg. desc loss: {:.4f}, cost time: {:.4f}s"
               .format(epoch, loss_sum, time.time() - start))
 
