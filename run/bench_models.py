@@ -7,6 +7,7 @@ Usage:  python run/bench_models.py <case>
   bootea_100k     200-epoch protocol vs 26939.6 s extrapolated (~10 min)
   gcnalign_15k    100 epochs (~1 min)
   gcnalign_100k   100-epoch demo + full test (~6 min)
+  alinet_15k      20-epoch demo (~4 min)
   rdgcn_100k      6-epoch epoch-cost probe (~3 min)
   dbp2            DBP2.0-scale MTransEV2 full protocol vs 16287.9 s (~10 min)
 
@@ -89,6 +90,12 @@ def main(case):
     elif case == "gcnalign_100k":
         run("GCN_Align", "gcnalign", "100K", pair_100k("mapping", attrs=True),
             2747.3, dict(max_epoch=100, start_valid=50, eval_freq=50))
+    elif case == "alinet_15k":
+        # 20-epoch demo (BENCHMARKS quality row); reference converged run
+        # has no published single-run time — compare per-epoch cost
+        run("AliNet", "alinet", "15K", pair_15k("mapping"), 1014.6,
+            dict(max_epoch=20, start_valid=10, eval_freq=10),
+            precompile=False)
     elif case == "rdgcn_100k":
         run("RDGCN", "rdgcn", "100K", pair_100k("mapping"), 5507.9,
             dict(max_epoch=6, start_valid=1000, eval_freq=1000),
