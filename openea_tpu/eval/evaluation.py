@@ -19,11 +19,20 @@ import numpy as np
 
 from openea_tpu.ops.ranking import rank_and_argmax, metrics_from_ranks
 
+# Candidate count past which mesh eval switches from row-sharded (each
+# device holds ALL n2 candidate rows) to the 2-D ring form (candidate
+# blocks rotate over ICI; peak per-device memory [n1/S, n2/S]).  At the
+# default dim<=512 f32, 2M replicated rows ≈ 4 GB/device — near the v5e
+# HBM comfort limit once the sim block is added.  Tunable per call.
+RING_EVAL_THRESHOLD = 2_000_000
+
 
 def greedy_alignment(embed1, embed2, top_k, nums_threads=1, metric="inner",
                      normalize=False, csls_k=0, accurate=True,
                      block=4096, compute_dtype=None,
-                     mesh=None) -> Tuple[set, float, float, float]:
+                     mesh=None,
+                     ring_threshold=RING_EVAL_THRESHOLD
+                     ) -> Tuple[set, float, float, float]:
     """Row i of embed1 is gold-aligned to row i of embed2's first n1 rows.
 
     Returns (alignment_rest as {(i, argmax_i)}, hits@1, MR, MRR).
@@ -42,11 +51,11 @@ def greedy_alignment(embed1, embed2, top_k, nums_threads=1, metric="inner",
     if mesh is not None:
         from openea_tpu.parallel.eval_sharded import (
             ring_rank_and_argmax, sharded_rank_and_argmax)
-        # past ~2M candidates the replicated block itself gets heavy
-        # (each device holds all n2 rows regardless of mesh size): switch
-        # to the 2-D ring form (both axes sharded, candidate blocks
+        # past ring_threshold candidates the replicated block itself gets
+        # heavy (each device holds all n2 rows regardless of mesh size):
+        # switch to the 2-D ring form (both axes sharded, candidate blocks
         # rotate over ICI via ppermute; [n1/S, n2/S] peak per device)
-        if int(embed2.shape[0]) >= 2_000_000:
+        if int(embed2.shape[0]) >= ring_threshold:
             ranks, best = ring_rank_and_argmax(
                 mesh, embed1, embed2, np.asarray(gold), metric=metric,
                 normalize=normalize, csls_k=csls_k, block=min(block, 2048))
@@ -84,23 +93,25 @@ def greedy_alignment(embed1, embed2, top_k, nums_threads=1, metric="inner",
 
 def valid(embeds1, embeds2, mapping, top_k, threads_num=1, metric="inner",
           normalize=False, csls_k=0, accurate=False, compute_dtype=None,
-          mesh=None):
+          mesh=None, ring_threshold=RING_EVAL_THRESHOLD):
     if mapping is not None:
         embeds1 = jnp.asarray(embeds1) @ jnp.asarray(mapping)
     _, hits1_12, mr_12, mrr_12 = greedy_alignment(
         embeds1, embeds2, top_k, threads_num, metric, normalize, csls_k,
-        accurate, compute_dtype=compute_dtype, mesh=mesh)
+        accurate, compute_dtype=compute_dtype, mesh=mesh,
+        ring_threshold=ring_threshold)
     return hits1_12, mrr_12
 
 
 def test(embeds1, embeds2, mapping, top_k, threads_num=1, metric="inner",
          normalize=False, csls_k=0, accurate=True, compute_dtype=None,
-         mesh=None):
+         mesh=None, ring_threshold=RING_EVAL_THRESHOLD):
     if mapping is not None:
         embeds1 = jnp.asarray(embeds1) @ jnp.asarray(mapping)
     alignment_rest_12, hits1_12, mr_12, mrr_12 = greedy_alignment(
         embeds1, embeds2, top_k, threads_num, metric, normalize, csls_k,
-        accurate, compute_dtype=compute_dtype, mesh=mesh)
+        accurate, compute_dtype=compute_dtype, mesh=mesh,
+        ring_threshold=ring_threshold)
     return alignment_rest_12, hits1_12, mrr_12
 
 

@@ -327,8 +327,10 @@ class AliNet(BasicModel):
             # (|val*(s1+s2)| <= 2*max|val|), so exp needs no max shift.
             # NOTE: requires an UNPADDED adjacency — a zero-weight pad
             # edge would contribute exp(0)=1 to its row's denominator.
-            # 'default' precision = bf16 gather + one MXU pass (~2e-3);
-            # att_precision='highest' restores f32-exact.
+            # att_precision 'highest' (default) = f32-exact, matching the
+            # reference numerics and the CPU/XLA fallback; 'default'
+            # (bf16 gather + one MXU pass, ~2e-3 rel err) is the 2x-faster
+            # opt-in the benchmark presets use.
             from openea_tpu.ops.spmm_pallas import dyn_csr_spmm
             w = jnp.exp(evals)
             aug = jnp.concatenate(
@@ -336,7 +338,7 @@ class AliNet(BasicModel):
                 axis=1)
             agg = dyn_csr_spmm(att_metas[0], att_metas[1], w, aug,
                                False, self._att_block,
-                               str(self.args.get("att_precision", "default")))
+                               str(self.args.get("att_precision", "highest")))
             out = agg[:, :-1] / jnp.maximum(agg[:, -1:], 1e-30)
         else:
             from openea_tpu.ops.graph import segmented_weighted_gather_sum

@@ -730,13 +730,18 @@ class BasicModel:
                 self._neigh1, self._neigh2)
         if self._uses_mapping():
             self.mapping_opt_state = map_state
+        t_fetch = time.time()
         tls = np.asarray(tls)
         mls = np.asarray(mls)
         hits = np.asarray(hits)
         was_stopped = np.asarray(was_stopped)
         stop_now = np.asarray(stop_now)
         executed = int((~was_stopped).sum())
-        dt = (time.time() - start) / max(1, executed * k)
+        # the host fetch is the eval windows' residual cost: attribute it
+        # to the 'quick results' lines (like launch_training_k_epo_valid)
+        # so statistics.parse_log per-phase sums stay faithful
+        dt_eval = (time.time() - t_fetch) / max(1, executed)
+        dt = (t_fetch - start) / max(1, executed * k)
         n_links = max(1, self._links.shape[0])
         for w in range(executed):
             for i in range(k):
@@ -747,7 +752,7 @@ class BasicModel:
                     print("epoch {}, avg. mapping loss: {:.4f}, cost time: "
                           "{:.4f}s".format(ep, mls[w, i] / n_links, dt))
             print("quick results: hits@{} = {}%, time = {:.3f} s ".format(
-                list(self.args.top_k), hits[w], 0.0))
+                list(self.args.top_k), hits[w], dt_eval))
             if stop_now[w]:
                 print("\n == should early stop == \n")
         self.flag1 = float(np.asarray(f1))

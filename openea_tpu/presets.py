@@ -144,6 +144,9 @@ PRESETS_15K: Dict[str, Dict[str, Any]] = {
         "start_augment": 2, "k": 20, "num_features_nonzero": 0,
         "ent_l2_norm": True, "rel_l2_norm": True, "eval_metric": "inner",
         "eval_norm": False, "start_valid": 10,
+        # bf16 attention SpMM (~2e-3 rel err, 2x MXU): presets opt in;
+        # the library default is f32-exact 'highest' (models/alinet.py)
+        "att_precision": "default",
     },
     "iptranse": {
         "embedding_module": "IPTransE", "alignment_module": "sharing",

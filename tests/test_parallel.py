@@ -333,3 +333,36 @@ def test_ring_rank_and_argmax_matches_single_device():
             csls_k=csls, block=29)
         assert np.array_equal(np.asarray(r_ref), r_sh), (n1, metric, csls)
         assert np.array_equal(np.asarray(b_ref), b_sh), (n1, metric, csls)
+
+
+def test_ring_eval_threshold_dispatch(monkeypatch):
+    """greedy_alignment(mesh=...) must switch row-sharded -> 2-D ring
+    exactly at ring_threshold (boundary semantics: >= switches), and both
+    paths must report identical metrics at the boundary."""
+    from openea_tpu.eval import evaluation
+    from openea_tpu.parallel import eval_sharded
+
+    rng = np.random.RandomState(3)
+    n1, n2, dim = 40, 64, 16
+    e1 = rng.randn(n1, dim).astype(np.float32)
+    e2 = rng.randn(n2, dim).astype(np.float32)
+    e2[:n1] = e1 + 0.05 * rng.randn(n1, dim)
+    mesh = eval_sharded.eval_mesh()
+
+    calls = []
+    real_ring = eval_sharded.ring_rank_and_argmax
+    real_row = eval_sharded.sharded_rank_and_argmax
+    monkeypatch.setattr(eval_sharded, "ring_rank_and_argmax",
+                        lambda *a, **k: calls.append("ring") or real_ring(*a, **k))
+    monkeypatch.setattr(eval_sharded, "sharded_rank_and_argmax",
+                        lambda *a, **k: calls.append("row") or real_row(*a, **k))
+
+    # n2 == threshold -> ring;  n2 == threshold+1 (i.e. threshold > n2) -> row
+    _, h_ring, mr_ring, mrr_ring = evaluation.greedy_alignment(
+        e1, e2, [1, 5], metric="inner", normalize=True, accurate=True,
+        mesh=mesh, ring_threshold=n2)
+    _, h_row, mr_row, mrr_row = evaluation.greedy_alignment(
+        e1, e2, [1, 5], metric="inner", normalize=True, accurate=True,
+        mesh=mesh, ring_threshold=n2 + 1)
+    assert calls == ["ring", "row"]
+    assert h_ring == h_row and mr_ring == mr_row and mrr_ring == mrr_row
