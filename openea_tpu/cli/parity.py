@@ -92,8 +92,14 @@ def run_config(cfg: ParityConfig, training_data: str, fold: int,
             "train_s": train_s}
 
 
-def run_synthetic(cfg: ParityConfig, overrides: Dict) -> Dict:
-    """Harness smoke path: same pipeline on an in-memory synthetic pair."""
+def run_synthetic(cfg: ParityConfig, overrides: Dict,
+                  tier: str = "easy") -> Dict:
+    """Harness smoke path: same pipeline on an in-memory synthetic pair.
+
+    ``tier='hard'`` uses the perturbed-name / noisy-seed / degree-skewed
+    generator variant (data/synthetic.py) so convergence actually
+    discriminates — name models can't saturate at init and a loss-sign or
+    negative-sampling regression shows up as a metric drop."""
     from openea_tpu.config import Args
     from openea_tpu.data.synthetic import synthesize_kg_pair
     from openea_tpu.eval.evaluation import test as eval_test
@@ -108,7 +114,9 @@ def run_synthetic(cfg: ParityConfig, overrides: Dict) -> Dict:
     args = Args(base)
     kgs = synthesize_kg_pair(num_entities=300, num_relations=10,
                              num_triples=1500, mode=args.alignment_module,
-                             train_frac=0.3, num_attributes=30, seed=13)
+                             train_frac=0.3, num_attributes=30, seed=13,
+                             hard=(tier == "hard"),
+                             train_noise=0.05 if tier == "hard" else 0.0)
     model = get_model(args.embedding_module)()
     model.set_args(args)
     model.set_kgs(kgs)
@@ -131,6 +139,9 @@ def main(argv=None) -> int:
                     help="allowed |actual - published| (the paper's 5-fold "
                          "stds are ~0.005-0.02)")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--tier", choices=["easy", "hard"], default="easy",
+                    help="synthetic difficulty (hard: perturbed names, "
+                         "noisy seeds, degree-correlated mismatch)")
     ap.add_argument("--max_epoch", type=int, default=0,
                     help="override preset epochs (0 = preset value)")
     known = ap.parse_args(argv)
@@ -149,7 +160,7 @@ def main(argv=None) -> int:
         fold_res = []
         for fold in folds:
             if known.synthetic:
-                r = run_synthetic(cfg, overrides)
+                r = run_synthetic(cfg, overrides, tier=known.tier)
             else:
                 r = run_config(cfg, known.training_data, fold, overrides)
             fold_res.append(r)

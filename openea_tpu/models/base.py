@@ -674,11 +674,11 @@ class BasicModel:
         top_k = tuple(self.args.top_k)
         use_hits = self.args.stop_metric == "hits1"
 
-        def multi(params, opt_state, map_state, key, f1, f2,
+        def multi(params, opt_state, map_state, key, f1, f2, active_from,
                   t1, w1, t2, w2, n1, n2):
             data = (t1, w1, t2, w2, n1, n2)
 
-            def win(carry, _):
+            def win(carry, w_idx):
                 p, o, m, ky, f1c, f2c, stopped = carry
                 ky, wk = jax.random.split(ky)
 
@@ -692,17 +692,23 @@ class BasicModel:
 
                 p2, o2, m2, tls, mls, hits, mr, mrr = jax.lax.cond(
                     stopped, skip, run, None)
+                # windows before `active_from` train but do not valid:
+                # their flags pass through untouched and they can't stop —
+                # exactly the host loop's epoch < start_valid behaviour
+                # (reference basic_model.py:265 'if epoch >= start_valid')
+                active = w_idx >= active_from
                 flag = hits[0] if use_hits else mrr
-                stop_now = (~stopped) & (flag <= f2c) & (f2c <= f1c)
-                f1n = jnp.where(stopped, f1c, f2c)
-                f2n = jnp.where(stopped, f2c, flag)
+                stop_now = (~stopped) & active & (flag <= f2c) & (f2c <= f1c)
+                frozen = stopped | ~active
+                f1n = jnp.where(frozen, f1c, f2c)
+                f2n = jnp.where(frozen, f2c, flag)
                 return ((p2, o2, m2, ky, f1n, f2n, stopped | stop_now),
                         (tls, mls, hits, mr, mrr, stopped, stop_now))
 
             carry0 = (params, opt_state, map_state, key,
                       f1, f2, jnp.zeros((), jnp.bool_))
             (params, opt_state, map_state, key, f1, f2, _), outs = \
-                jax.lax.scan(win, carry0, None, length=W)
+                jax.lax.scan(win, carry0, jnp.arange(W, dtype=jnp.int32))
             return (params, opt_state, map_state, key, f1, f2) + outs
 
         return jax.jit(multi, donate_argnums=(0, 1, 2))
@@ -721,25 +727,31 @@ class BasicModel:
                 k, W, use_tables)
         map_state = (self.mapping_opt_state if self._uses_mapping()
                      else jnp.zeros(()))
+        # first window whose end epoch reaches start_valid; earlier
+        # windows train without updating flags (host-loop parity)
+        need = self.args.start_valid - (first_epoch - 1)
+        active_from = max(0, -(-need // k) - 1)
         (self.params, self.opt_state, map_state, self.key, f1, f2,
          tls, mls, hits, mr, mrr, was_stopped, stop_now) = \
             self._epoch_fn_cache[cache_key](
                 self.params, self.opt_state, map_state, self.key,
                 jnp.float32(self.flag1), jnp.float32(self.flag2),
+                jnp.int32(active_from),
                 self._t1, self._w1, self._t2, self._w2,
                 self._neigh1, self._neigh2)
         if self._uses_mapping():
             self.mapping_opt_state = map_state
-        t_fetch = time.time()
-        tls = np.asarray(tls)
+        tls = np.asarray(tls)       # blocks until the device call finishes
         mls = np.asarray(mls)
+        t_fetch = time.time()
         hits = np.asarray(hits)
         was_stopped = np.asarray(was_stopped)
         stop_now = np.asarray(stop_now)
         executed = int((~was_stopped).sum())
-        # the host fetch is the eval windows' residual cost: attribute it
-        # to the 'quick results' lines (like launch_training_k_epo_valid)
-        # so statistics.parse_log per-phase sums stay faithful
+        # the residual transfers after the loss fetch are the eval
+        # windows' host-side cost: attribute them to the 'quick results'
+        # lines (like launch_training_k_epo_valid) so statistics.parse_log
+        # per-phase sums stay faithful instead of printing 0.000 s
         dt_eval = (time.time() - t_fetch) / max(1, executed)
         dt = (t_fetch - start) / max(1, executed * k)
         n_links = max(1, self._links.shape[0])
@@ -751,6 +763,8 @@ class BasicModel:
                 if self._uses_mapping():
                     print("epoch {}, avg. mapping loss: {:.4f}, cost time: "
                           "{:.4f}s".format(ep, mls[w, i] / n_links, dt))
+            if w < active_from:
+                continue            # pre-start_valid window: no valid line
             print("quick results: hits@{} = {}%, time = {:.3f} s ".format(
                 list(self.args.top_k), hits[w], dt_eval))
             if stop_now[w]:
@@ -920,6 +934,27 @@ class BasicModel:
         map_state = (self.mapping_opt_state if self._uses_mapping()
                      else jnp.zeros(()))
         if epc > 1:
+            multiwin_mode = (self._can_fuse_valid()
+                             and epc == self.args.eval_freq
+                             and self.args.neg_sampling != "truncated"
+                             and not self.args.get("checkpoint_freq")
+                             and self.args.max_epoch >= epc * self._MULTIWIN)
+            if multiwin_mode:
+                # the run loop routes ALL epochs (pre-valid ones eval-
+                # masked) through this one executable; compiling the
+                # super/superv forms too would triple axon compile time
+                # for programs the run never dispatches
+                keym = ("multiwin", epc, self._MULTIWIN, use_tables)
+                if keym not in self._epoch_fn_cache:
+                    self._epoch_fn_cache[keym] = self._make_multiwin_fn(
+                        epc, self._MULTIWIN, use_tables)
+                self._epoch_fn_cache[keym].lower(
+                    self.params, self.opt_state, map_state, self.key,
+                    jnp.float32(-1), jnp.float32(-1), jnp.int32(0),
+                    self._t1, self._w1, self._t2, self._w2,
+                    self._neigh1, self._neigh2).compile()
+                print("precompile done in {:.1f} s".format(time.time() - t))
+                return
             key = ("super", epc, use_tables)
             if key not in self._epoch_fn_cache:
                 self._epoch_fn_cache[key] = self._make_super_epoch_fn(
@@ -937,18 +972,6 @@ class BasicModel:
                     self.params, self.opt_state, map_state, self.key,
                     self._t1, self._w1, self._t2, self._w2, self._neigh1,
                     self._neigh2).compile()
-                if (epc == self.args.eval_freq
-                        and self.args.neg_sampling != "truncated"
-                        and not self.args.get("checkpoint_freq")):
-                    keym = ("multiwin", epc, self._MULTIWIN, use_tables)
-                    if keym not in self._epoch_fn_cache:
-                        self._epoch_fn_cache[keym] = self._make_multiwin_fn(
-                            epc, self._MULTIWIN, use_tables)
-                    self._epoch_fn_cache[keym].lower(
-                        self.params, self.opt_state, map_state, self.key,
-                        jnp.float32(-1), jnp.float32(-1),
-                        self._t1, self._w1, self._t2, self._w2,
-                        self._neigh1, self._neigh2).compile()
         else:
             self._epoch_fn(use_tables).lower(
                 self.params, self.opt_state, self.key, self._t1, self._w1,
@@ -990,13 +1013,16 @@ class BasicModel:
             will_valid = (epoch + k >= self.args.start_valid
                           and (epoch + k) % self.args.eval_freq == 0)
             can_fuse = k > 1 and will_valid and self._can_fuse_valid()
-            if (can_fuse and k == self.args.eval_freq
+            if (k > 1 and k == self.args.eval_freq
+                    and self._can_fuse_valid()
                     and self.args.neg_sampling != "truncated"
                     and not ckpt_freq
                     and self.args.max_epoch - epoch >= k * self._MULTIWIN):
                 # batch several eval windows into one device call with
                 # on-device early stopping (axon round trips dominate
-                # past this point)
+                # past this point).  Pre-start_valid windows run through
+                # the SAME executable with eval masked off (active_from),
+                # so the whole training needs exactly one compile.
                 epoch += self.launch_training_multiwin(epoch + 1, k)
                 if self.early_stop or epoch >= self.args.max_epoch:
                     break

@@ -320,9 +320,13 @@ class GMNN(BasicModel):
         if self._prob_c is None:
             self._prob_c = jax.jit(
                 lambda p, e1, e2: jax.nn.softmax(self._logits(p, e1, e2))[:, 1])
-        # The reference's dev_batch_size (=20) sizes GPU memory; on TPU each
-        # call is a full dispatch and the per-example subgraph state is tiny,
-        # so batch inference up to 2048 (one static shape -> one compile).
+        # The reference's dev_batch_size (=20) sizes GPU memory
+        # (gmnn.py:2419-2520 reranks in tiny windows); on TPU each call is
+        # a full dispatch and the per-example subgraph state is tiny, so
+        # batch inference up to 2048 (one static shape -> one compile) and
+        # DEFER the host fetch: device arrays accumulate asynchronously and
+        # one concatenated transfer syncs at the end — the per-batch
+        # np.asarray variant paid a ~65 ms tunnel round trip per window.
         bsz = int(getattr(self.args, "test_batch_size", 0) or max(bsz, 2048))
         n = len(examples)
         pad = (-n) % bsz
@@ -331,32 +335,32 @@ class GMNN(BasicModel):
         probs = []
         for s in range(0, len(ex), bsz):
             b = ex[s:s + bsz]
-            probs.append(np.asarray(self._prob_c(
-                self.params, jnp.asarray(b[:, 0]), jnp.asarray(b[:, 1]))))
-        return np.concatenate(probs)[:n]
+            probs.append(self._prob_c(
+                self.params, jnp.asarray(b[:, 0]), jnp.asarray(b[:, 1])))
+        return np.asarray(jnp.concatenate(probs))[:n]
 
     def _rank_eval(self, examples: np.ndarray, label: str):
         cand = int(self.args.cand_size)
         probs = self._match_probs(examples, int(self.args.dev_batch_size))
         golds = examples[:, 2]
         n_src = len(examples) // cand
-        hits = {1: 0, 5: 0, 10: 0, 50: 0}
-        mr = mrr = 0.0
-        for i in range(n_src):
-            pr = probs[i * cand:(i + 1) * cand]
-            gd = golds[i * cand:(i + 1) * cand]
-            order = np.argsort(-pr)
-            for rank, j in enumerate(order):
-                if gd[j] == 1:
-                    mr += rank + 1
-                    mrr += 1.0 / (rank + 1)
-                    for k in hits:
-                        if rank < k:
-                            hits[k] += 1
-                    break
+        pr = probs[:n_src * cand].reshape(n_src, cand)
+        gd = golds[:n_src * cand].reshape(n_src, cand)
+        # rank of the gold candidate under stable descending argsort
+        # (reference gmnn.py rerank: first gold hit in sorted order):
+        # strictly-greater count + equal-valued candidates at lower index
+        has_gold = gd.any(axis=1)
+        gold_idx = np.argmax(gd == 1, axis=1)
+        rows = np.arange(n_src)
+        gp = pr[rows, gold_idx]
+        rank = (pr > gp[:, None]).sum(axis=1) + \
+            ((pr == gp[:, None]) &
+             (np.arange(cand)[None, :] < gold_idx[:, None])).sum(axis=1)
+        rank = rank[has_gold]    # gold-less sources count in the denominator
+        hits = {k: int((rank < k).sum()) for k in (1, 5, 10, 50)}
         hits_pct = [round(hits[k] / n_src * 100, 3) for k in (1, 5, 10, 50)]
-        mr /= n_src
-        mrr /= n_src
+        mr = float((rank + 1).sum()) / n_src
+        mrr = float((1.0 / (rank + 1)).sum()) / n_src
         print("{} results: hits@[1, 5, 10, 50] = {}%, mr = {:.3f}, "
               "mrr = {:.6f}".format(label, hits_pct, mr, mrr))
         return hits_pct[0], mrr

@@ -9,6 +9,7 @@ Usage:  python run/bench_models.py <case>
   gcnalign_100k   100-epoch demo + full test (~6 min)
   alinet_15k      20-epoch demo (~4 min)
   rdgcn_100k      6-epoch epoch-cost probe (~3 min)
+  gmnn_rerank     test-time rerank timing assertion (~1 min)
   dbp2            DBP2.0-scale MTransEV2 full protocol vs 16287.9 s (~10 min)
 
 Each case synthesizes an OpenEA-shaped KG pair (the image ships no real
@@ -117,6 +118,37 @@ def main(case):
               "probe, train %.1f s incl compile; full test %.1f s).  "
               "Reference full converged run: 5507.9 s."
               % (train_s / 6, train_s, time.time() - t1))
+    elif case == "gmnn_rerank":
+        # test-time rerank timing at a 15K-shaped candidate set with the
+        # REFERENCE's dev_batch_size=20 (gmnn.py:2419-2520): the batched
+        # deferred-fetch path must stay far from the dispatch-bound regime
+        # (~65 ms tunnel round trip per tiny window would be ~340 s here)
+        kgs = synthesize_kg_pair(num_entities=3000, num_relations=60,
+                                 num_triples=12000, mode="mapping",
+                                 train_frac=0.2, valid_frac=0.1, seed=42)
+        m = get_model("GMNN")()
+        m.set_args(Args(cand_size=20, word_embedding_dim=32,
+                        hidden_layer_dim=32, aggregator_dim_first=32,
+                        cosine_MP_dim=8, word_size_max=1, dev_batch_size=20,
+                        sample_size_per_layer=2, subgraph_size=16,
+                        batch_size=128, max_epoch=1, start_valid=1000,
+                        eval_freq=1000, stop_metric="hits1", seed=1,
+                        learning_rate=0.001, optimizer="Adam", top_k=[1, 5]))
+        m.set_kgs(kgs)
+        m.init()
+        cands = m.generate_candidates(kgs.test_links)
+        ex = m.build_examples(kgs.test_links, cands)
+        m._rank_eval(ex, "quick")                 # compile + warm
+        t0 = time.time()
+        m._rank_eval(ex, "accurate")
+        dt = time.time() - t0
+        n_win = len(ex) / 20.0
+        budget = max(5.0, 0.010 * n_win)          # << 65 ms/window dispatch
+        print("RESULT GMNN rerank: %d examples (%d dev windows) in %.2f s "
+              "(budget %.1f s at 10 ms/window)" % (len(ex), n_win, dt, budget))
+        assert dt < budget, (
+            "GMNN rerank dispatch-bound again: %.2f s for %d windows" %
+            (dt, n_win))
     elif case == "dbp2":
         bench_dbp2()
     else:
