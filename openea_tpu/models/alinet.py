@@ -288,6 +288,61 @@ class AliNet(BasicModel):
         self._cand1 = np.asarray(self.sup_ent1 + self.ref_ent1, np.int32)
         self._cand2 = np.asarray(self.sup_ent2 + self.ref_ent2, np.int32)
         self._np_rng = np.random.RandomState(a.seed)
+        if a.get("use_mesh") and len(jax.devices()) > 1:
+            self._setup_mesh_gnn()
+
+    # ------------------------------------------------------------------ #
+    # multi-chip: full-graph mesh training.  One nnz-balanced row
+    # partition (from the 1-hop adjacency) is shared by the 2-hop edge
+    # set; GCN layers ride the boundary-exchange SpMM, and the 2-hop
+    # attention uses the sharded edge-softmax with the per-source scalar
+    # (s2) and per-destination scalar (s1) carried as extra feature
+    # columns through the same all_to_all.  Adjacency rebuilds after
+    # augmentation re-partition the new edges by the FIXED row ranges so
+    # the padded parameter layout never changes (the plan shapes may,
+    # costing one recompile per augmentation — same as the reference's
+    # feed-dict swap, alinet.py:885-920).
+    # ------------------------------------------------------------------ #
+
+    def _setup_mesh_gnn(self):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from openea_tpu.parallel.spmm_sharded import (
+            pad_rows, plan_boundary_exchange)
+        devs = jax.devices()
+        n = int(self.args.get("mesh_devices") or 0) or len(devs)
+        self.mesh = Mesh(np.asarray(devs[:n]), ("x",))
+        self._plan1 = plan_boundary_exchange(self.adj1, n)
+        self._row_starts = self._plan1.row_starts
+        self._plan2 = plan_boundary_exchange(self.adj2, n,
+                                             row_starts=self._row_starts)
+        self._att_metas = None            # Pallas path is single-chip only
+        shard = NamedSharding(self.mesh, P("x", None))
+        repl = NamedSharding(self.mesh, P())
+        for k in self.params:
+            if k == "init_embedding":
+                self.params[k] = jax.device_put(
+                    pad_rows(self._plan1, self.params[k]), shard)
+            else:
+                self.params[k] = jax.device_put(self.params[k], repl)
+        self.opt_state = self.opt.init(self.params)
+        self._out_map_np = np.asarray(self._plan1.out_map)
+        self._rel_ht = self._out_map_np[self._rel_ht].astype(np.int32)
+        print("mesh training enabled: {} devices, mesh {} (boundary-"
+              "exchange SpMM + sharded 2-hop softmax, r={}/{})".format(
+                  self.mesh.size, dict(self.mesh.shape), self._plan1.r,
+                  self._plan2.r))
+
+    def _graphs(self):
+        """(adj1-or-plan1, adj2-or-plan2, att_metas) for the current mode."""
+        if self.mesh is not None:
+            return self._plan1, self._plan2, None
+        return self.adj1, self.adj2, self._att_metas
+
+    def _unpad(self, out):
+        if self.mesh is None:
+            return out
+        from openea_tpu.parallel.spmm_sharded import unpad_rows
+        return unpad_rows(self._plan1, out)
 
     # ------------------------------------------------------------------ #
     # forward
@@ -299,8 +354,14 @@ class AliNet(BasicModel):
         outputs = []
         for i in range(self.layer_num):
             xb = _affine_bn(x, params[f"gcn_{i}_gamma"], params[f"gcn_{i}_beta"])
-            one = jnp.tanh(spmm(adj1, xb @ params[f"gcn_{i}_kernel"])
-                           + params[f"gcn_{i}_bias"])
+            pre = xb @ params[f"gcn_{i}_kernel"]
+            if self.mesh is not None:
+                from openea_tpu.parallel.spmm_sharded import (
+                    boundary_spmm_padded)
+                agg = boundary_spmm_padded(self.mesh, adj1, pre)
+            else:
+                agg = spmm(adj1, pre)
+            one = jnp.tanh(agg + params[f"gcn_{i}_bias"])
             if i < self.layer_num - 1:
                 two = self._attention(params, i, x, adj2, att_metas)
                 x = self._highway(params, i, two, one)
@@ -314,6 +375,22 @@ class AliNet(BasicModel):
         mapped = xb @ params[f"att_{i}_kernel"]
         s1 = jnp.tanh(jnp.sum((xb @ params[f"att_{i}_kernel1"]) * xb, axis=1))
         s2 = jnp.tanh(jnp.sum((xb @ params[f"att_{i}_kernel2"]) * xb, axis=1))
+        if self.mesh is not None:
+            # adj is the 2-hop BoundaryPlan; s1/s2 ride the all_to_all as
+            # extra feature columns (s1 read at the destination gather,
+            # s2 at the source gather)
+            from openea_tpu.parallel.spmm_sharded import (
+                boundary_softmax_spmm_padded)
+            feats = jnp.concatenate([mapped, s1[:, None], s2[:, None]],
+                                    axis=1)
+
+            def logit_fn(dst, src, v, attr):
+                return jax.nn.leaky_relu(v * (dst[:, -2] + src[:, -1]), 0.2)
+
+            out = boundary_softmax_spmm_padded(self.mesh, adj, feats,
+                                               logit_fn,
+                                               agg_cols=mapped.shape[1])
+            return jnp.tanh(out)
         evals = jax.nn.leaky_relu(adj.val * (s1[adj.row] + s2[adj.col]),
                                   negative_slope=0.2)
         if att_metas is not None:
@@ -429,15 +506,14 @@ class AliNet(BasicModel):
     # ------------------------------------------------------------------ #
 
     def _output_embeds(self):
-        outputs = self._forward(self.params, self.adj1, self.adj2,
-                                self._att_metas)
+        outputs = self._forward(self.params, *self._graphs())
         return outputs
 
     def find_neighbors(self):
         if self.args.truncated_epsilon <= 0.0:
             return
         start = time.time()
-        out_last = self._output_embeds()[-1]
+        out_last = self._unpad(self._output_embeds()[-1])
         ents1 = self.sup_ent1 + self.ref_ent1
         ents2 = self.sup_ent2 + self.ref_ent2
         e1 = l2_normalize(out_last[jnp.asarray(ents1, jnp.int32)])
@@ -476,9 +552,9 @@ class AliNet(BasicModel):
                 r1, r2)
 
     def augment_neighborhood(self):
-        outputs = self._output_embeds()
-        e1 = l2_normalize(outputs[-1][jnp.asarray(self.ref_ent1, jnp.int32)])
-        e2 = l2_normalize(outputs[-1][jnp.asarray(self.ref_ent2, jnp.int32)])
+        out_last = self._unpad(self._output_embeds()[-1])
+        e1 = l2_normalize(out_last[jnp.asarray(self.ref_ent1, jnp.int32)])
+        e2 = l2_normalize(out_last[jnp.asarray(self.ref_ent2, jnp.int32)])
         vals, idx, r1, r2 = self._csls_topk1(e1, e2)
         rows = np.nonzero(vals > self.sim_th)[0]
         if len(rows) == 0:
@@ -515,6 +591,13 @@ class AliNet(BasicModel):
         if self.adj1.row.shape[0] > self._nnz_cap:
             # capacity exceeded -> shape change; jit will recompile once
             self._nnz_cap = self.adj1.row.shape[0]
+        if self.mesh is not None:
+            # re-partition the rebuilt edges by the FIXED row ranges; the
+            # padded parameter layout is unchanged
+            from openea_tpu.parallel.spmm_sharded import (
+                plan_boundary_exchange)
+            self._plan1 = plan_boundary_exchange(
+                self.adj1, self.mesh.size, row_starts=self._row_starts)
         print("augmented adjacency: {} links".format(len(self.new_links)))
 
     # ------------------------------------------------------------------ #
@@ -532,10 +615,14 @@ class AliNet(BasicModel):
             ep_losses = []
             for _ in range(steps):
                 pos, neg = self._sample_batches(a.batch_size)
+                if self.mesh is not None:
+                    pos = self._out_map_np[pos]
+                    neg = self._out_map_np[neg]
+                g1, g2, metas = self._graphs()
                 self.key, k = jax.random.split(self.key)
                 self.params, self.opt_state, loss = step_fn(
-                    self.params, self.opt_state, self.adj1, self.adj2,
-                    self._att_metas, jnp.asarray(pos), jnp.asarray(neg), k)
+                    self.params, self.opt_state, g1, g2,
+                    metas, jnp.asarray(pos), jnp.asarray(neg), k)
                 ep_losses.append(loss)   # sync once after the loop
             epoch_loss = float(jnp.sum(jnp.stack(ep_losses)))
             print("epoch {}, loss: {:.4f}, cost time: {:.4f}s"
@@ -556,7 +643,7 @@ class AliNet(BasicModel):
         outputs = self._output_embeds()
         parts = [l2_normalize(o) for o in
                  [self.params["init_embedding"]] + outputs]
-        return jnp.concatenate(parts, axis=1)
+        return self._unpad(jnp.concatenate(parts, axis=1))
 
     def _rel_embeds_for_eval(self):
         return None

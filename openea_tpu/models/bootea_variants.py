@@ -131,7 +131,9 @@ class BootEA_RotatE(RotatE, BootEA):
                 e1, e2 = self._ref_embeddings()
                 self.labeled_align, rows, cols = bs.bootstrapping(
                     e1, e2, self.labeled_align, self.args.sim_th, self.args.k,
-                    block=self.args.eval_block_size)
+                    block=self.args.eval_block_size,
+                    mesh=(self._eval_mesh() if self.mesh is not None
+                          else None))
                 if rows is not None:
                     ents1 = [self.ref_ent1[r] for r in rows]
                     ents2 = [self.ref_ent2[c] for c in cols]

@@ -197,21 +197,85 @@ class RDGCN(BasicModel):
         self.opt_state = self.opt.init(self.params)
         self._links = np.asarray(self.kgs.train_links_array, np.int32)
         self._step = None
+        if a.get("use_mesh") and len(jax.devices()) > 1:
+            self._setup_mesh_gnn()
+
+    # ------------------------------------------------------------------ #
+    # multi-chip: full-graph mesh training.  One nnz-balanced row
+    # partition (from the primal adjacency) is shared by every entity-
+    # indexed structure: the primal GCN SpMMs ride the boundary-exchange
+    # all_to_all (parallel/spmm_sharded.boundary_spmm_padded), the sparse
+    # primal attention uses the softmax variant with the per-triple edge
+    # set partitioned by the SAME row ranges and relation ids carried as
+    # edge attributes, and compute_r's per-relation head/tail means are
+    # shard-local partial segment-sums + one psum.  The dense dual-graph
+    # attention ([R, R]) stays replicated.  The reference trains RDGCN on
+    # one pinned GPU (rdgcn.py:202-215) — this axis is new capability.
+    # ------------------------------------------------------------------ #
+
+    def _setup_mesh_gnn(self):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from openea_tpu.ops.graph import SparseAdj
+        from openea_tpu.parallel.spmm_sharded import (
+            pad_rows, partition_pairs_by_plan, plan_boundary_exchange)
+        devs = jax.devices()
+        n = int(self.args.get("mesh_devices") or 0) or len(devs)
+        self.mesh = Mesh(np.asarray(devs[:n]), ("x",))
+        primal = SparseAdj(self._m_row, self._m_col, self._m_val, self.E)
+        self._plan = plan_boundary_exchange(primal, n)
+        edges = SparseAdj(self._e_row, self._e_col,
+                          np.ones(len(self._e_row), np.float32), self.E)
+        self._plan_e = plan_boundary_exchange(
+            edges, n, row_starts=self._plan.row_starts,
+            edge_attr=self._e_rel)
+        self._h_parts = partition_pairs_by_plan(self._plan, self._hr_ent,
+                                                self._hr_rel)
+        self._t_parts = partition_pairs_by_plan(self._plan, self._tr_ent,
+                                                self._tr_rel)
+        shard = NamedSharding(self.mesh, P("x", None))
+        repl = NamedSharding(self.mesh, P())
+        for k in self.params:
+            if k == "x0":
+                self.params[k] = jax.device_put(
+                    pad_rows(self._plan, self.params[k]), shard)
+            else:
+                self.params[k] = jax.device_put(self.params[k], repl)
+        self.opt_state = self.opt.init(self.params)
+        self._out_map_np = np.asarray(self._plan.out_map)
+        self._links = self._out_map_np[self._links].astype(np.int32)
+        print("mesh training enabled: {} devices, mesh {} (boundary-"
+              "exchange SpMM + sharded edge softmax, r={}/{})".format(
+                  self.mesh.size, dict(self.mesh.shape), self._plan.r,
+                  self._plan_e.r))
+
+    def _unpad(self, out):
+        if self.mesh is None:
+            return out
+        from openea_tpu.parallel.spmm_sharded import unpad_rows
+        return unpad_rows(self._plan, out)
 
     # ------------------------------------------------------------------ #
     # forward pieces
     # ------------------------------------------------------------------ #
 
     def _spmm_m(self, x):
+        if self.mesh is not None:
+            from openea_tpu.parallel.spmm_sharded import boundary_spmm_padded
+            return boundary_spmm_padded(self.mesh, self._plan, x)
         return self._spmm_fast(x)
 
     def _compute_r(self, x):
-        h_sum = jax.ops.segment_sum(x[self._hr_ent], self._hr_rel,
-                                    num_segments=self._R,
-                                    indices_are_sorted=True)
-        t_sum = jax.ops.segment_sum(x[self._tr_ent], self._tr_rel,
-                                    num_segments=self._R,
-                                    indices_are_sorted=True)
+        if self.mesh is not None:
+            from openea_tpu.parallel.spmm_sharded import sharded_segment_sum
+            h_sum = sharded_segment_sum(self.mesh, self._h_parts, x, self._R)
+            t_sum = sharded_segment_sum(self.mesh, self._t_parts, x, self._R)
+        else:
+            h_sum = jax.ops.segment_sum(x[self._hr_ent], self._hr_rel,
+                                        num_segments=self._R,
+                                        indices_are_sorted=True)
+            t_sum = jax.ops.segment_sum(x[self._tr_ent], self._tr_rel,
+                                        num_segments=self._R,
+                                        indices_are_sorted=True)
         L = h_sum / self._h_cnt
         Rm = t_sum / self._t_cnt
         return jnp.concatenate([L, Rm], axis=-1)
@@ -231,6 +295,17 @@ class RDGCN(BasicModel):
 
     def _sparse_att(self, p, pre, x, dual_state):
         rel_logit = (dual_state @ p[pre + "_w"] + p[pre + "_b"]).reshape(-1)
+        if self.mesh is not None:
+            from openea_tpu.parallel.spmm_sharded import (
+                boundary_softmax_spmm_padded)
+
+            def logit_fn(dst, src, v, attr, rl):
+                return jax.nn.leaky_relu(rl[attr], 0.2)
+
+            out = boundary_softmax_spmm_padded(self.mesh, self._plan_e, x,
+                                               logit_fn,
+                                               rep_args=(rel_logit,))
+            return jax.nn.relu(out)
         evals = jax.nn.leaky_relu(rel_logit[self._e_rel], 0.2)
         soft = segment_softmax(evals, self._e_row, self.E)
         out = jax.ops.segment_sum(soft[:, None] * x[self._e_col], self._e_row,
@@ -345,11 +420,14 @@ class RDGCN(BasicModel):
         while epoch < a.max_epoch:
             start = time.time()
             if epoch % 10 == 0:
-                out = self._forward(self.params)
-                neg_right = jnp.asarray(
-                    self._nearest_negatives(out, links[:, 0], k))
-                neg2_left = jnp.asarray(
-                    self._nearest_negatives(out, links[:, 1], k))
+                out = self._unpad(self._forward(self.params))
+                nr = self._nearest_negatives(out, links[:, 0], k)
+                nl = self._nearest_negatives(out, links[:, 1], k)
+                if self.mesh is not None:
+                    nr = self._out_map_np[nr]
+                    nl = self._out_map_np[nl]
+                neg_right = jnp.asarray(nr)
+                neg2_left = jnp.asarray(nl)
             # run to the next negative-remine / eval / max boundary in one
             # jitted scan (fixed negatives between boundaries)
             n = min(10 - (epoch % 10), a.max_epoch - epoch)
@@ -374,7 +452,7 @@ class RDGCN(BasicModel):
         print("Training ends. Total time = {:.3f} s.".format(time.time() - t0))
 
     def _ent_embeds_for_eval(self):
-        return self._forward(self.params)
+        return self._unpad(self._forward(self.params))
 
     def _rel_embeds_for_eval(self):
         return None
@@ -383,6 +461,6 @@ class RDGCN(BasicModel):
         return None
 
     def save(self):
-        out = np.asarray(self._forward(self.params))
+        out = np.asarray(self._unpad(self._forward(self.params)))
         rd.save_embeddings(self.out_folder, self.kgs, out, None, None)
         print("Embeddings saved!")

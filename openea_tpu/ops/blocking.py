@@ -11,10 +11,21 @@ lshash.py:27-100); only the bucket dictionaries live on host.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Set
+from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
 
 import jax.numpy as jnp
 import numpy as np
+
+# pluggable candidate-ranking distances (reference lshash.py:86-99 +
+# :125-153's d_func table), vectorized over the candidate axis
+DISTANCE_FUNCS = {
+    "euclidean": lambda q, c: ((c - q) ** 2).sum(axis=-1),
+    "true_euclidean": lambda q, c: np.sqrt(((c - q) ** 2).sum(axis=-1)),
+    "centred_euclidean": lambda q, c: (c.mean(axis=-1) - q.mean()) ** 2,
+    "l1norm": lambda q, c: np.abs(c - q).sum(axis=-1),
+    "cosine": lambda q, c: 1.0 - (c @ q) / np.maximum(
+        np.sqrt((c * c).sum(axis=-1) * (q @ q)), 1e-12),
+}
 
 
 class LSHBlocker:
@@ -30,6 +41,8 @@ class LSHBlocker:
             rng.randn(input_dim, num_hashtables * hash_size).astype(np.float32))
         self._tables: List[Dict[int, List[int]]] = [
             {} for _ in range(num_hashtables)]
+        self._vecs: Dict[int, np.ndarray] = {}
+        self._extras: Dict[int, Any] = {}
 
     def _codes(self, x) -> np.ndarray:
         """[N] x num_hashtables integer bucket codes."""
@@ -38,9 +51,17 @@ class LSHBlocker:
         weights = (1 << np.arange(self.hash_size, dtype=np.int64))
         return (bits.astype(np.int64) * weights).sum(axis=2)  # [N, T]
 
-    def index(self, embeds, ids: Sequence[int]) -> None:
+    def index(self, embeds, ids: Sequence[int],
+              extras: Optional[Sequence[Any]] = None) -> None:
+        """Index embedding rows under ids.  ``extras``: optional per-row
+        payloads returned by ranked queries (the reference's extra_data,
+        lshash.py:101-110)."""
         codes = self._codes(embeds)
+        vecs = np.asarray(embeds)
         for row, ent in enumerate(ids):
+            self._vecs[int(ent)] = vecs[row]
+            if extras is not None:
+                self._extras[int(ent)] = extras[row]
             for t in range(self.num_hashtables):
                 self._tables[t].setdefault(int(codes[row, t]), []).append(ent)
 
@@ -53,4 +74,30 @@ class LSHBlocker:
             for t in range(self.num_hashtables):
                 cands.update(self._tables[t].get(int(codes[row, t]), ()))
             out.append(cands)
+        return out
+
+    def query_ranked(self, embeds, num_results: int = 1,
+                     distance_func: str = "euclidean"
+                     ) -> List[List[Tuple[int, float, Any]]]:
+        """Per query row: bucket candidates ranked by a pluggable distance
+        (reference lshash.py:77-121 query).  Returns, per row, up to
+        ``num_results`` (id, distance, extra) tuples, nearest first.  The
+        per-candidate distances vectorize over each row's candidate set —
+        the sets are small by construction (that is the point of
+        blocking), so this stays on host like the reference."""
+        if distance_func not in DISTANCE_FUNCS:
+            raise ValueError("The distance function name is invalid.")
+        d_func = DISTANCE_FUNCS[distance_func]
+        queries = np.asarray(embeds)
+        out: List[List[Tuple[int, float, Any]]] = []
+        for row, cands in enumerate(self.query(embeds)):
+            if not cands:
+                out.append([])
+                continue
+            ids = np.asarray(sorted(cands))
+            cvecs = np.stack([self._vecs[int(i)] for i in ids])
+            dist = np.asarray(d_func(queries[row], cvecs))
+            order = np.argsort(dist, kind="stable")[:num_results]
+            out.append([(int(ids[j]), float(dist[j]),
+                         self._extras.get(int(ids[j]))) for j in order])
         return out

@@ -49,10 +49,17 @@ def _blocked_topk(e1: jax.Array, e2: jax.Array, k: int, block: int):
     return vals.reshape(-1, k)[:n1], idx.reshape(-1, k)[:n1]
 
 
-def ref_topk(e1, e2, k: int, block: int = 2048):
-    """Host (values, indices) of each ref-row's top-k inner-product match."""
-    vals, idx = _blocked_topk(jnp.asarray(e1), jnp.asarray(e2),
-                              min(k, e2.shape[0]), block)
+def ref_topk(e1, e2, k: int, block: int = 2048, mesh=None):
+    """Host (values, indices) of each ref-row's top-k inner-product match.
+    With ``mesh`` (1-D eval mesh), the query rows are sharded over the
+    devices — BootEA's bootstrapping sims at multi-chip scale."""
+    if mesh is not None:
+        from openea_tpu.parallel.eval_sharded import sharded_row_topk
+        vals, idx = sharded_row_topk(mesh, jnp.asarray(e1), jnp.asarray(e2),
+                                     min(k, e2.shape[0]), block)
+    else:
+        vals, idx = _blocked_topk(jnp.asarray(e1), jnp.asarray(e2),
+                                  min(k, e2.shape[0]), block)
     return np.asarray(vals), np.asarray(idx)
 
 
@@ -142,14 +149,15 @@ def update_labeled_alignment_y(labeled: Set[Pair],
 
 
 def bootstrapping(ref_e1, ref_e2, labeled: Set[Pair], sim_th: float, k: int,
-                  block: int = 2048):
+                  block: int = 2048, mesh=None):
     """One bootstrapping round over ref embeddings (already l2-normalized,
     reference bootea.py:214-219 normalizes before the matmul).
 
     Returns (labeled_alignment, row_indices, col_indices) where the index
     lists are positions into the ref entity lists (the caller maps them to
-    global entity ids)."""
-    vals, idx = ref_topk(ref_e1, ref_e2, max(k, 1), block)
+    global entity ids).  ``mesh``: row-shard the similarity/top-k over the
+    device mesh (the reference's ray-actor sim pool, bootea.py:214-228)."""
+    vals, idx = ref_topk(ref_e1, ref_e2, max(k, 1), block, mesh=mesh)
     curr = find_potential_alignment_mwgm(vals, idx, sim_th, k)
     if curr is not None:
         need = set(curr)

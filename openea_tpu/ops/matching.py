@@ -107,6 +107,39 @@ def stable_alignment(embed1, embed2, metric="inner", normalize=False,
 # bootstrapping: maximum-weight greedy matching over filtered sim pairs
 # ---------------------------------------------------------------------------
 
+def retrieve_topk_alignment(kg1_source_ents: Sequence[int], kg1_embeddings,
+                            kg2_candidates: Sequence[int], kg2_embeddings,
+                            k: int = 1, metric: str = "inner",
+                            normalize: bool = False, csls_k: int = 0,
+                            output_path: str = None
+                            ) -> List[Tuple[int, int, float]]:
+    """Top-k candidate retrieval with similarities (reference
+    modules/finding/alignment.py:227-257 — defined but never called
+    upstream; kept for API parity).  The reference argpartitions each
+    host sim row; here one device top-k over the sim matrix.  Returns
+    [(source_ent, candidate_ent, sim)] (k per source, best-first) and
+    optionally writes them as a TSV."""
+    e1 = jnp.asarray(kg1_embeddings)[jnp.asarray(kg1_source_ents,
+                                                 jnp.int32)]
+    e2 = jnp.asarray(kg2_embeddings)[jnp.asarray(kg2_candidates,
+                                                 jnp.int32)]
+    mat = sim_matrix(e1, e2, metric=metric, normalize=normalize,
+                     csls_k=csls_k)
+    k = min(k, int(mat.shape[1]))
+    vals, idx = jax.lax.top_k(mat, k)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    src = list(kg1_source_ents)
+    cand = list(kg2_candidates)
+    out = [(src[i], cand[int(idx[i, j])], float(vals[i, j]))
+           for i in range(len(src)) for j in range(k)]
+    if output_path is not None:
+        with open(output_path, "w", encoding="utf8") as f:
+            for s, p, o in out:
+                f.write(f"{s}\t{p}\t{o}\n")
+        print(output_path, "saved")
+    return out
+
+
 def filter_and_topk_pairs(sim_mat: jax.Array, th: float, k: int
                           ) -> List[Tuple[int, int, float]]:
     """Device: pairs (i, j, w) with w > th AND j in row i's top-k

@@ -78,10 +78,20 @@ def cityblock_topk(anchors: jax.Array, table: jax.Array, k: int,
 
 
 def build_neighbor_table(embeds, entity_ids, k: int, max_id: int,
-                         block: int = 2048) -> NeighborTable:
-    """Neighbor table + global-id -> row lookup for one KG."""
+                         block: int = 2048, mesh=None) -> NeighborTable:
+    """Neighbor table + global-id -> row lookup for one KG.  ``mesh``:
+    row-shard the top-k over the 1-D eval mesh (multi-chip truncated-
+    neighbor regeneration, reference batch.py:122-165's process pool)."""
     entity_ids = jnp.asarray(entity_ids, jnp.int32)
-    neighbors = top_k_neighbors(jnp.asarray(embeds), entity_ids, k, block)
+    if mesh is not None:
+        from openea_tpu.parallel.eval_sharded import sharded_row_topk
+        embeds = jnp.asarray(embeds)
+        _, idx = sharded_row_topk(mesh, embeds, embeds,
+                                  min(k, embeds.shape[0]), block)
+        neighbors = entity_ids[idx]
+    else:
+        neighbors = top_k_neighbors(jnp.asarray(embeds), entity_ids, k,
+                                    block)
     ent_pos = np.zeros((max_id,), dtype=np.int32)
     ent_pos[np.asarray(entity_ids)] = np.arange(entity_ids.shape[0], dtype=np.int32)
     return NeighborTable(neighbors=neighbors, ent_pos=jnp.asarray(ent_pos))

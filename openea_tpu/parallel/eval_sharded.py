@@ -46,6 +46,47 @@ def eval_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devs), ("x",))
 
 
+def sharded_row_topk(mesh: Mesh, e1: jax.Array, e2: jax.Array, k: int,
+                     block: int = 2048) -> Tuple[jax.Array, jax.Array]:
+    """Row top-k of e1 @ e2.T with the query rows sharded over the 1-D
+    eval mesh and e2 replicated — the multi-chip form of
+    ops/bootstrapping._blocked_topk / ops/neighbors.top_k_neighbors
+    (reference's ray-actor eval pool, bootea.py:214-228 + batch.py:122-165).
+    Embarrassingly row-parallel: no collectives at all; each shard block-
+    loops its rows against the resident candidate table."""
+    k = min(k, e2.shape[0])
+    n1 = e1.shape[0]
+    S = mesh.size
+    per = -(-n1 // S)
+    pad = per * S - n1
+    if pad:
+        e1 = jnp.concatenate([e1, jnp.zeros((pad, e1.shape[1]), e1.dtype)])
+    approx = k > 64 and jax.devices()[0].platform == "tpu"
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("x", None), P(None, None)),
+             out_specs=(P("x", None), P("x", None)))
+    def run(rows, table):
+        nb = -(-rows.shape[0] // block)
+        bpad = nb * block - rows.shape[0]
+        rp = (jnp.concatenate([rows, jnp.zeros((bpad, rows.shape[1]),
+                                               rows.dtype)])
+              if bpad else rows)
+
+        def one(rr):
+            s = rr @ table.T
+            if approx:
+                return jax.lax.approx_max_k(s, k, recall_target=0.95)
+            return jax.lax.top_k(s, k)
+
+        vals, idx = jax.lax.map(one, rp.reshape(nb, -1, rp.shape[1]))
+        return (vals.reshape(-1, k)[:rows.shape[0]],
+                idx.reshape(-1, k)[:rows.shape[0]])
+
+    vals, idx = jax.jit(run)(e1, e2)
+    return vals[:n1], idx[:n1]
+
+
 def _row_blocks(x: jax.Array, block: int):
     """[m, ...] -> [nb, block, ...] zero-padded."""
     m = x.shape[0]

@@ -99,6 +99,7 @@ def sharded_spmm(mesh: Mesh, sadj: ShardedAdj, x: jax.Array) -> jax.Array:
     return out[:n]
 
 
+@jax.tree_util.register_pytree_node_class
 class BoundaryPlan:
     """Host-precomputed exchange plan for ``boundary_spmm``.
 
@@ -122,11 +123,23 @@ class BoundaryPlan:
                          to each destination; slot-aligned with col_buf
     in_map    [S*mr]   — global row feeding each padded x slot (N for pad)
     out_map   [N]      — padded slot holding each global output row
+    msk_loc/msk_rem    — 1.0 for real edges, 0.0 for padding (softmax masks)
+    attr_loc/attr_rem  — optional per-edge attribute (e.g. relation id)
+                         partitioned identically to val (None if unused)
+
+    Registered as a pytree so large plans can ride through jit as step
+    ARGUMENTS instead of baking tens-of-MB index constants into the
+    lowered module (the AliNet 100K att_metas lesson, models/alinet.py).
     """
+
+    _LEAVES = ("row_loc", "col_loc", "val_loc", "row_local", "col_buf",
+               "val", "send_idx", "in_map", "out_map", "in_valid",
+               "msk_loc", "msk_rem", "attr_loc", "attr_rem")
 
     def __init__(self, row_starts, mr, row_loc, col_loc, val_loc,
                  row_local, col_buf, val, send_idx,
-                 in_map, out_map, n_rows, r):
+                 in_map, out_map, n_rows, r, in_valid=None,
+                 msk_loc=None, msk_rem=None, attr_loc=None, attr_rem=None):
         self.row_starts = row_starts
         self.mr = mr
         self.row_loc = row_loc
@@ -140,25 +153,64 @@ class BoundaryPlan:
         self.out_map = out_map
         self.n_rows = n_rows
         self.r = r
+        self.in_valid = in_valid
+        self.msk_loc = msk_loc
+        self.msk_rem = msk_rem
+        self.attr_loc = attr_loc
+        self.attr_rem = attr_rem
+
+    def tree_flatten(self):
+        children = tuple(getattr(self, k) for k in self._LEAVES)
+        aux = (self.row_starts.tobytes(), self.row_starts.dtype.str,
+               self.mr, self.n_rows, self.r)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        buf, dt, mr, n_rows, r = aux
+        row_starts = np.frombuffer(buf, dtype=np.dtype(dt))
+        kw = dict(zip(cls._LEAVES, children))
+        return cls(row_starts, mr, kw.pop("row_loc"), kw.pop("col_loc"),
+                   kw.pop("val_loc"), kw.pop("row_local"),
+                   kw.pop("col_buf"), kw.pop("val"), kw.pop("send_idx"),
+                   kw.pop("in_map"), kw.pop("out_map"), n_rows, r, **kw)
 
 
-def plan_boundary_exchange(adj: SparseAdj, n_shards: int) -> BoundaryPlan:
+def plan_boundary_exchange(adj: SparseAdj, n_shards: int,
+                           row_starts=None, edge_attr=None) -> BoundaryPlan:
     """Partition a row-sorted COO into nnz-balanced contiguous row ranges
-    and precompute the boundary-entity all_to_all plan."""
+    and precompute the boundary-entity all_to_all plan.
+
+    ``row_starts``: reuse another plan's row partition so multiple graphs
+    over the same node set share one padded feature layout (e.g. RDGCN's
+    primal adjacency + per-triple attention edges).
+    ``edge_attr``: per-edge int/float array partitioned alongside val
+    (exposed as attr_loc/attr_rem, pad -> 0)."""
     row = np.asarray(adj.row)
     col = np.asarray(adj.col)
     val = np.asarray(adj.val)
+    attr = None if edge_attr is None else np.asarray(edge_attr)
+    # zero-weight padding edges contribute nothing to a weighted sum and
+    # must NOT enter a softmax denominator — drop them from the plan
+    nz = val != 0
+    if not nz.all():
+        row, col, val = row[nz], col[nz], val[nz]
+        if attr is not None:
+            attr = attr[nz]
     n = adj.n_rows
     nnz = row.shape[0]
     S = n_shards
 
-    # contiguous row ranges with ~equal nnz: split the row-sorted edge
-    # list at S-1 evenly spaced edge positions, snapped to row boundaries
-    starts = [0]
-    for s in range(1, S):
-        target_row = int(row[min((s * nnz) // S, nnz - 1)])
-        starts.append(max(target_row, starts[-1] + 1))
-    row_starts = np.asarray([min(s, n) for s in starts] + [n], np.int64)
+    if row_starts is None:
+        # contiguous row ranges with ~equal nnz: split the row-sorted edge
+        # list at S-1 evenly spaced edge positions, snapped to row bounds
+        starts = [0]
+        for s in range(1, S):
+            target_row = int(row[min((s * nnz) // S, nnz - 1)])
+            starts.append(max(target_row, starts[-1] + 1))
+        row_starts = np.asarray([min(s, n) for s in starts] + [n], np.int64)
+    else:
+        row_starts = np.asarray(row_starts, np.int64)
     mr = int(np.max(row_starts[1:] - row_starts[:-1]))
     owner_of_row = np.searchsorted(row_starts[1:], np.arange(n), side="right")
 
@@ -175,6 +227,7 @@ def plan_boundary_exchange(adj: SparseAdj, n_shards: int) -> BoundaryPlan:
     for d in range(S):
         m = shard_of_edge == d
         ed_row, ed_col, ed_val, ed_owner = row[m], col[m], val[m], col_owner[m]
+        ed_attr = attr[m] if attr is not None else None
         loc = ed_owner == d
         rem = ~loc
         rrow, rcol, rval, rowner = (ed_row[rem], ed_col[rem], ed_val[rem],
@@ -194,25 +247,39 @@ def plan_boundary_exchange(adj: SparseAdj, n_shards: int) -> BoundaryPlan:
         edge_data.append((
             ed_row[loc] - row_starts[d], ed_col[loc] - row_starts[d],
             ed_val[loc],
-            rrow - row_starts[d], rowner, slots, rval))
+            rrow - row_starts[d], rowner, slots, rval,
+            ed_attr[loc] if ed_attr is not None else None,
+            ed_attr[rem] if ed_attr is not None else None))
 
     row_loc = np.zeros((S, epl), np.int32)
     col_loc = np.zeros((S, epl), np.int32)
     val_loc = np.zeros((S, epl), np.float32)
+    msk_loc = np.zeros((S, epl), np.float32)
     row_local = np.zeros((S, ep), np.int32)
     col_buf = np.zeros((S, ep), np.int32)
     val_p = np.zeros((S, ep), np.float32)
+    msk_rem = np.zeros((S, ep), np.float32)
     send_idx = np.zeros((S, S, r), np.int32)
+    if attr is not None:
+        attr_loc = np.zeros((S, epl), attr.dtype)
+        attr_rem = np.zeros((S, ep), attr.dtype)
+    else:
+        attr_loc = attr_rem = None
     for d in range(S):
-        lrow, lcol, lval, rr, owner, slots, v = edge_data[d]
+        lrow, lcol, lval, rr, owner, slots, v, la, ra = edge_data[d]
         kl = lrow.shape[0]
         row_loc[d, :kl] = lrow
         col_loc[d, :kl] = lcol
         val_loc[d, :kl] = lval
+        msk_loc[d, :kl] = 1.0
         k = rr.shape[0]
         row_local[d, :k] = rr
         col_buf[d, :k] = owner * r + slots
         val_p[d, :k] = v
+        msk_rem[d, :k] = 1.0
+        if attr is not None:
+            attr_loc[d, :kl] = la
+            attr_rem[d, :k] = ra
         for s in range(S):
             q = reqs[d][s]
             send_idx[s, d, :len(q)] = q
@@ -231,8 +298,14 @@ def plan_boundary_exchange(adj: SparseAdj, n_shards: int) -> BoundaryPlan:
                         jnp.asarray(row_local),
                         jnp.asarray(col_buf), jnp.asarray(val_p),
                         jnp.asarray(send_idx), jnp.asarray(in_map),
-                        jnp.asarray(out_map), n, r)
-    plan.in_valid = jnp.asarray(in_valid)
+                        jnp.asarray(out_map), n, r,
+                        in_valid=jnp.asarray(in_valid),
+                        msk_loc=jnp.asarray(msk_loc),
+                        msk_rem=jnp.asarray(msk_rem),
+                        attr_loc=(jnp.asarray(attr_loc)
+                                  if attr_loc is not None else None),
+                        attr_rem=(jnp.asarray(attr_rem)
+                                  if attr_rem is not None else None))
     return plan
 
 
@@ -309,6 +382,118 @@ def partition_by_plan(adj: SparseAdj, plan: BoundaryPlan):
         col_p[s, :k] = col[m]
         val_p[s, :k] = val[m]
     return jnp.asarray(row_l), jnp.asarray(col_p), jnp.asarray(val_p)
+
+
+def boundary_softmax_spmm_padded(mesh: Mesh, plan: BoundaryPlan,
+                                 xp: jax.Array, logit_fn,
+                                 agg_cols: int = 0,
+                                 rep_args=()) -> jax.Array:
+    """Row-softmax attention aggregation over a boundary plan — the
+    multi-chip form of ``segment_softmax`` + weighted gather-sum used by
+    the attention GNNs (RDGCN sparse primal attention, rdgcn.py:202-215;
+    AliNet 2-hop attention, alinet.py:581).
+
+    out[i] = sum_{e: dst(e)=i} softmax_i(logit_e) * src_e[:, :agg_cols]
+
+    xp [S*mr, D]: padded shard-major feature rows.  Columns beyond
+    ``agg_cols`` (default: all D) carry per-source scalars that ride the
+    same all_to_all and are visible to ``logit_fn`` but are not
+    aggregated.
+    logit_fn(dst_feats [E, D], src_feats [E, D], val [E], attr [E]|None,
+    *rep_args) -> [E] per-edge logits; called once for the local and once
+    for the remote edge set.  ``rep_args`` are replicated arrays (e.g. a
+    per-relation logit table) passed through the shard_map with P() spec.
+    Padding edges are masked out of the softmax (numerically, not by
+    zero weights); rows with no edges return 0."""
+    S = mesh.size
+    mr, r = plan.mr, plan.r
+    C = agg_cols or xp.shape[1]
+    NEG = jnp.float32(-1e30)
+    has_attr = plan.attr_loc is not None
+    a_loc = plan.attr_loc if has_attr else plan.msk_loc
+    a_rem = plan.attr_rem if has_attr else plan.msk_rem
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("x", None),) * 11 + (P("x", None, None),)
+             + (P(),) * len(rep_args),
+             out_specs=P("x", None))
+    def run(xs, row_ll, col_ll, v_lo, msk_ll, att_ll, row_l, col_b, v_re,
+            msk_r, att_r, send, *reps):
+        row_lo, row_re = row_ll[0], row_l[0]
+        m_lo, m_re = msk_ll[0], msk_r[0]
+        src_loc = xs[col_ll[0]]
+        dst_loc = xs[row_lo]
+        lg_loc = logit_fn(dst_loc, src_loc, v_lo[0],
+                          att_ll[0] if has_attr else None, *reps)
+        buf = xs[send[0]]                                # [S, r, D]
+        recv = jax.lax.all_to_all(buf, "x", split_axis=0, concat_axis=0,
+                                  tiled=False)
+        flat = recv.reshape(S * r, -1)
+        src_rem = flat[col_b[0]]
+        dst_rem = xs[row_re]
+        lg_rem = logit_fn(dst_rem, src_rem, v_re[0],
+                          att_r[0] if has_attr else None, *reps)
+        lg_loc = jnp.where(m_lo > 0, lg_loc, NEG)
+        lg_rem = jnp.where(m_re > 0, lg_rem, NEG)
+        mx = jnp.maximum(
+            jax.ops.segment_max(lg_loc, row_lo, num_segments=mr),
+            jax.ops.segment_max(lg_rem, row_re, num_segments=mr))
+        mx = jnp.maximum(mx, NEG)          # rows with no edges: -inf -> NEG
+        w_loc = jnp.where(m_lo > 0, jnp.exp(lg_loc - mx[row_lo]), 0.0)
+        w_rem = jnp.where(m_re > 0, jnp.exp(lg_rem - mx[row_re]), 0.0)
+        den = (jax.ops.segment_sum(w_loc, row_lo, num_segments=mr)
+               + jax.ops.segment_sum(w_rem, row_re, num_segments=mr))
+        num = (jax.ops.segment_sum(w_loc[:, None] * src_loc[:, :C], row_lo,
+                                   num_segments=mr)
+               + jax.ops.segment_sum(w_rem[:, None] * src_rem[:, :C], row_re,
+                                     num_segments=mr))
+        return num / jnp.maximum(den, 1e-30)[:, None]
+
+    return run(xp, plan.row_loc, plan.col_loc, plan.val_loc, plan.msk_loc,
+               a_loc, plan.row_local, plan.col_buf, plan.val, plan.msk_rem,
+               a_rem, plan.send_idx, *rep_args)
+
+
+def partition_pairs_by_plan(plan: BoundaryPlan, ent_ids, seg_ids):
+    """Partition (segment, entity) incidence pairs by the plan's entity
+    row ranges for ``sharded_segment_sum`` — the multi-chip form of the
+    per-relation head/tail means (RDGCN compute_r, rdgcn.py:258-266).
+    Returns padded (ent_local [S,P], seg [S,P], msk [S,P])."""
+    ent = np.asarray(ent_ids)
+    seg = np.asarray(seg_ids)
+    starts = np.asarray(plan.row_starts)
+    S = len(starts) - 1
+    owner = np.searchsorted(starts[1:], ent, side="right")
+    counts = np.bincount(owner, minlength=S)
+    pp = max(1, int(counts.max()))
+    ent_l = np.zeros((S, pp), np.int32)
+    seg_p = np.zeros((S, pp), np.int32)
+    msk = np.zeros((S, pp), np.float32)
+    for s in range(S):
+        m = owner == s
+        k = int(m.sum())
+        ent_l[s, :k] = ent[m] - starts[s]
+        seg_p[s, :k] = seg[m]
+        msk[s, :k] = 1.0
+    return jnp.asarray(ent_l), jnp.asarray(seg_p), jnp.asarray(msk)
+
+
+def sharded_segment_sum(mesh: Mesh, parts, xp: jax.Array,
+                        num_segments: int) -> jax.Array:
+    """sum of xp rows grouped by segment id, entities row-sharded in the
+    plan's padded layout; output replicated [num_segments, d] via psum."""
+    ent_l, seg_p, msk = parts
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("x", None), P("x", None), P("x", None),
+                       P("x", None)),
+             out_specs=P(None, None))
+    def run(xs, e, g, m):
+        part = jax.ops.segment_sum(xs[e[0]] * m[0][:, None], g[0],
+                                   num_segments=num_segments)
+        return jax.lax.psum(part, "x")
+
+    return run(xp, ent_l, seg_p, msk)
 
 
 def local_spmm_padded(mesh: Mesh, plan: BoundaryPlan, parts,

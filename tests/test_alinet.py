@@ -82,6 +82,44 @@ def test_alinet_augmentation_path():
 
 
 @pytest.mark.slow
+def test_alinet_mesh_training_matches_single_device():
+    """AliNet trains on the 8-device mesh: boundary-exchange SpMM for the
+    GCN layers + sharded 2-hop attention softmax (use_mesh=True) — same
+    math as single-device, including the augmentation replan."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    kw = dict(init="xavier", layer_dims=[24, 24, 24], learning_rate=0.01,
+              optimizer="Adam", neg_margin=1.5, neg_margin_balance=0.1,
+              neg_triple_num=2, truncated_epsilon=0.98, truncated_freq=10,
+              batch_size=60, min_rel_win=5, rel_param=0.01, sim_th=0.0,
+              start_augment=2, k=5, eval_metric="inner", eval_norm=False,
+              dropout=0.0, start_valid=1000, eval_freq=1000)
+    # forward parity at init: mesh GCN + sharded 2-hop attention softmax
+    # must match the single-device path exactly
+    f1, kgs = run_model("AliNet", "mapping", epochs=0, **kw)
+    f2, _ = run_model("AliNet", "mapping", epochs=0, kgs=kgs,
+                      use_mesh=True, **kw)
+    assert f2.mesh is not None and f2.mesh.size == 8
+    assert f2.params["init_embedding"].sharding.spec[0] == "x"
+    np.testing.assert_allclose(np.asarray(f2._ent_embeds_for_eval()),
+                               np.asarray(f1._ent_embeds_for_eval()),
+                               atol=2e-4, rtol=1e-4)
+    # trained agreement: Adam amplifies f32 reduction-order drift, so the
+    # contract is metric-level equivalence, not bitwise embeddings
+    m1, _ = run_model("AliNet", "mapping", epochs=10, kgs=kgs, **kw)
+    m2, _ = run_model("AliNet", "mapping", epochs=10, kgs=kgs,
+                      use_mesh=True, **kw)
+    diff = np.abs(np.asarray(m2._ent_embeds_for_eval())
+                  - np.asarray(m1._ent_embeds_for_eval()))
+    assert float(diff.mean()) < 2e-3
+    h1, mrr1 = test_hits1(m1)
+    h2, mrr2 = test_hits1(m2)
+    assert abs(h1 - h2) <= 2.0
+    assert abs(mrr1 - mrr2) < 0.02
+
+
+@pytest.mark.slow
 def test_alinet_attention_pallas_wiring_matches_xla():
     """The dyn_csr_spmm attention path (TPU) must equal the segment-sum
     path bit-for-bit-ish, INCLUDING the edge-order contract between adj2

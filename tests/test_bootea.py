@@ -79,6 +79,38 @@ def test_bootstrapping_perfect_embeddings_aligns_diagonal():
     assert set(zip(rows, cols)) == {(i, i) for i in range(20)}
 
 
+@pytest.mark.slow
+def test_bootea_mesh_bootstrapping_matches_single_device():
+    """BootEA runs on the mesh end-to-end: sharded triple training
+    (base-family use_mesh) PLUS row-sharded bootstrapping similarity/
+    top-k and truncated-neighbor regeneration.  Contract: the mined
+    pseudo-label set agrees with the single-device run."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from tests.test_models_e2e import make_kgs, run_model, test_hits1
+    kw = dict(learning_rate=0.05, init="normal", loss="limited",
+              neg_sampling="truncated", optimizer="Adagrad",
+              eval_metric="inner", loss_norm="L2", ent_l2_norm=True,
+              rel_l2_norm=True, pos_margin=0.01, neg_margin=2.0,
+              neg_margin_balance=0.2, neg_triple_num=4,
+              truncated_epsilon=0.9, truncated_freq=10, sub_epoch=10,
+              sim_th=0.5, k=5, start_valid=1000, eval_freq=1000)
+    m1, kgs = run_model("BootEA", "swapping", epochs=20, **kw)
+    m2, _ = run_model("BootEA", "swapping", epochs=20, kgs=kgs,
+                      use_mesh=True, **kw)
+    assert m2.mesh is not None
+    assert m2.params["ent_embeds"].sharding.spec[0] == "model"
+    assert len(m2.labeled_align) > 0
+    inter = len(m1.labeled_align & m2.labeled_align)
+    union = len(m1.labeled_align | m2.labeled_align)
+    assert inter / union > 0.95, (
+        f"pseudo-label sets diverged: {inter}/{union}")
+    h1, _ = test_hits1(m1)
+    h2, _ = test_hits1(m2)
+    assert abs(h1 - h2) <= 2.0
+
+
 def test_bootea_e2e_learns():
     from tests.test_models_e2e import make_kgs, run_model, test_hits1
     model, kgs = run_model(

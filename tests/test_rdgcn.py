@@ -63,6 +63,45 @@ def test_rdgcn_wo_attr_variant_runs():
     assert np.isfinite(mrr)
 
 
+@pytest.mark.slow
+def test_rdgcn_mesh_training_matches_single_device():
+    """RDGCN trains on the 8-device mesh: boundary-exchange SpMM for the
+    GCN layers, sharded edge-softmax for the primal attention, psum'd
+    incidence sums for the dual features — same math as single-device."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    kgs = synthesize_kg_pair(num_entities=200, num_relations=8,
+                             num_triples=2000, mode="mapping",
+                             edge_keep_prob=1.0, noise_edge_frac=0.0,
+                             train_frac=0.3, seed=7)
+    kw = dict(dim=32, learning_rate=0.005, alpha=0.1, beta=0.3, gamma=1.0,
+              neg_triple_num=5, dropout=0.0, eval_metric="manhattan",
+              eval_norm=False, start_valid=1000, eval_freq=1000)
+    # forward parity at init: the mesh ops (boundary SpMM, sharded edge
+    # softmax, psum'd incidence sums) must match single-device exactly
+    f1, _ = run_model("RDGCN", "mapping", epochs=0, kgs=kgs, **kw)
+    f2, _ = run_model("RDGCN", "mapping", epochs=0, kgs=kgs,
+                      use_mesh=True, **kw)
+    assert f2.mesh is not None and f2.mesh.size == 8
+    assert f2.params["x0"].sharding.spec[0] == "x", "x0 not row-sharded"
+    np.testing.assert_allclose(np.asarray(f2._ent_embeds_for_eval()),
+                               np.asarray(f1._ent_embeds_for_eval()),
+                               atol=2e-4, rtol=1e-4)
+    # trained agreement: Adam amplifies f32 reduction-order drift, so the
+    # contract is metric-level equivalence, not bitwise embeddings
+    m1, _ = run_model("RDGCN", "mapping", epochs=12, kgs=kgs, **kw)
+    m2, _ = run_model("RDGCN", "mapping", epochs=12, kgs=kgs,
+                      use_mesh=True, **kw)
+    diff = np.abs(np.asarray(m2._ent_embeds_for_eval())
+                  - np.asarray(m1._ent_embeds_for_eval()))
+    assert float(diff.mean()) < 2e-3
+    h1, mrr1 = test_hits1(m1)
+    h2, mrr2 = test_hits1(m2)
+    assert abs(h1 - h2) <= 2.0
+    assert abs(mrr1 - mrr2) < 0.02
+
+
 def test_cityblock_topk_matches_naive():
     import jax.numpy as jnp
     from openea_tpu.ops.neighbors import cityblock_topk

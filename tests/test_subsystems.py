@@ -24,6 +24,59 @@ def test_lsh_blocker_finds_near_duplicates():
     assert np.mean([len(c) for c in cands]) < 80
 
 
+def test_lsh_query_ranked_distances_and_extras():
+    """Pluggable distance functions + indexed payloads (reference
+    lshash.py:77-153)."""
+    from openea_tpu.ops.blocking import DISTANCE_FUNCS, LSHBlocker
+    rng = np.random.RandomState(2)
+    base = rng.randn(60, 12).astype(np.float32)
+    blocker = LSHBlocker(hash_size=6, input_dim=12, num_hashtables=6, seed=1)
+    blocker.index(base, list(range(60)), extras=[f"uri:{i}" for i in range(60)])
+    queries = base[:5] + 0.005 * rng.randn(5, 12).astype(np.float32)
+    for dist in DISTANCE_FUNCS:
+        ranked = blocker.query_ranked(queries, num_results=3,
+                                      distance_func=dist)
+        assert len(ranked) == 5
+        for row, results in enumerate(ranked):
+            assert len(results) <= 3
+            dists = [d for _, d, _ in results]
+            assert dists == sorted(dists)
+            for i, d, extra in results:
+                assert extra == f"uri:{i}"
+    # euclidean: the near-duplicate should rank first when it is a candidate
+    ranked = blocker.query_ranked(queries, num_results=1,
+                                  distance_func="euclidean")
+    hits = sum(1 for row, res in enumerate(ranked)
+               if res and res[0][0] == row)
+    assert hits >= 4
+    with pytest.raises(ValueError):
+        blocker.query_ranked(queries, distance_func="nope")
+
+
+def test_retrieve_topk_alignment_pairs_and_tsv(tmp_path):
+    """reference modules/finding/alignment.py:227-257 semantics: top-k
+    (source, candidate, sim) triples + TSV side effect."""
+    from openea_tpu.ops.matching import retrieve_topk_alignment
+    rng = np.random.RandomState(0)
+    emb1 = rng.randn(20, 8).astype(np.float32)
+    # candidate ids index the FULL kg2 table (reference embedding_lookup
+    # semantics); rows 13/14 duplicate the sources -> top-1 recovers them
+    emb2 = rng.randn(15, 8).astype(np.float32)
+    emb2[13] = emb1[4]
+    emb2[14] = emb1[7]
+    path = str(tmp_path / "topk.tsv")
+    out = retrieve_topk_alignment([4, 7], emb1, [10, 11, 12, 13, 14], emb2,
+                                  k=2, metric="cosine", normalize=True,
+                                  output_path=path)
+    assert len(out) == 4
+    # best-first per source: identical embedding wins under cosine
+    assert out[0][:2] == (4, 13)
+    assert out[2][:2] == (7, 14)
+    with open(path) as f:
+        lines = f.read().strip().split("\n")
+    assert len(lines) == 4 and lines[0].startswith("4\t13\t")
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from openea_tpu.checkpoint import save_state, load_state
     import jax.numpy as jnp
