@@ -235,20 +235,28 @@ class AliNet(BasicModel):
         self.adj2 = SparseAdj(jnp.asarray(adj2_h.row), jnp.asarray(adj2_h.col),
                               jnp.asarray(adj2_h.val), n)
         # Pallas attention aggregation: static 2-hop structure -> chunk
-        # metas (dyn_csr_spmm with SDDMM backward); mega-chunked so only
-        # ~1M gathered edge-features materialize at once.  adj2 and the
-        # metas are step ARGUMENTS (not trace constants): at 100K scale
-        # the index arrays are tens of MB each.
+        # metas for the FULLY-FUSED att_spmm (edge logits computed in-
+        # kernel, static weights pre-permuted into chunk layout — no
+        # per-edge scalar gathers/scatters anywhere, the cost that
+        # dominated the dyn_csr_spmm route; see ops/spmm_pallas.py).
+        # Mega-chunked so only [S*EC, F] of gathered features
+        # materializes at once.  Metas and chunk values are step
+        # ARGUMENTS (not trace constants): at 100K scale the index
+        # arrays are tens of MB each.
         self._att_metas = None
         self._att_block = 0
         if (jax.default_backend() != "cpu"
                 and adj2_h.row.shape[0] >= 65536):
-            from openea_tpu.ops.spmm_pallas import EC, metas_from_coo
-            S = max(1, (1 << 20) // EC)
+            from openea_tpu.ops.spmm_pallas import (EC, chunk_vals,
+                                                    metas_from_coo)
+            S = max(1, (1 << 18) // EC)
             meta, meta_t = metas_from_coo(np.asarray(adj2_h.row),
                                           np.asarray(adj2_h.col), n,
                                           pad_chunks_to=S)
-            self._att_metas = (meta.device_put(), meta_t.device_put())
+            val_np = np.asarray(adj2_h.val)
+            self._att_metas = (meta.device_put(), meta_t.device_put(),
+                               jnp.asarray(chunk_vals(meta, val_np)),
+                               jnp.asarray(chunk_vals(meta_t, val_np)))
             self._att_block = S
 
         ht, lens, n_rel = rel_ht_table(one_hop, seed=a.seed)
@@ -391,34 +399,38 @@ class AliNet(BasicModel):
                                                logit_fn,
                                                agg_cols=mapped.shape[1])
             return jnp.tanh(out)
-        evals = jax.nn.leaky_relu(adj.val * (s1[adj.row] + s2[adj.col]),
-                                  negative_slope=0.2)
         if att_metas is not None:
-            # Pallas sorted-segment SpMM with SDDMM val-backward; adj's
-            # edges are row-sorted = the metas' original edge order.
-            # The row-softmax is FOLDED INTO the aggregation: with
-            # w_e = exp(evals_e),  softmax-aggregate(mapped) =
-            # (A(w) @ [mapped | 1])[:, :-1] / (A(w) @ [mapped | 1])[:, -1:]
-            # — one kernel pass replaces XLA's segment max/sum/div chain
-            # (measured 462 ms alone at 13M edges).  evals is bounded
-            # (|val*(s1+s2)| <= 2*max|val|), so exp needs no max shift.
-            # NOTE: requires an UNPADDED adjacency — a zero-weight pad
-            # edge would contribute exp(0)=1 to its row's denominator.
+            # Fully-fused Pallas attention SpMM: the per-edge logits
+            # leaky_relu(val * (s1[row] + s2[col])) are computed INSIDE
+            # the kernel (s1 broadcast through the aggregation one-hot,
+            # s2 riding the feature gather as an extra column), and the
+            # row-softmax is FOLDED INTO the aggregation via the ones
+            # column — evals is bounded (|val*(s1+s2)| <= 2*max|val| for
+            # tanh scores), so exp needs no max shift.  This removes the
+            # per-edge SCALAR gathers/scatters that dominated the earlier
+            # dyn_csr_spmm route (run/profile_dyn_spmm.py).
             # att_precision 'highest' (default) = f32-exact, matching the
             # reference numerics and the CPU/XLA fallback; 'default'
             # (bf16 gather + one MXU pass, ~2e-3 rel err) is the 2x-faster
             # opt-in the benchmark presets use.
-            from openea_tpu.ops.spmm_pallas import dyn_csr_spmm
-            w = jnp.exp(evals)
-            aug = jnp.concatenate(
-                [mapped, jnp.ones((mapped.shape[0], 1), mapped.dtype)],
-                axis=1)
-            agg = dyn_csr_spmm(att_metas[0], att_metas[1], w, aug,
-                               False, self._att_block,
-                               str(self.args.get("att_precision", "highest")))
-            out = agg[:, :-1] / jnp.maximum(agg[:, -1:], 1e-30)
+            from openea_tpu.ops.spmm_pallas import att_spmm
+            meta, meta_t, val_c, val_t = att_metas
+            d_out = mapped.shape[1]
+            n_rows = mapped.shape[0]
+            F = -(-(d_out + 2) // 128) * 128
+            feats = jnp.zeros((n_rows, F), mapped.dtype)
+            feats = feats.at[:, :d_out].set(mapped)
+            feats = feats.at[:, d_out].set(1.0)
+            feats = feats.at[:, d_out + 1].set(s2)
+            agg = att_spmm(meta, meta_t, val_c, val_t, s1, feats, d_out,
+                           False, self._att_block,
+                           str(self.args.get("att_precision", "highest")))
+            out = (agg[:, :d_out]
+                   / jnp.maximum(agg[:, d_out:d_out + 1], 1e-30))
         else:
             from openea_tpu.ops.graph import segmented_weighted_gather_sum
+            evals = jax.nn.leaky_relu(adj.val * (s1[adj.row] + s2[adj.col]),
+                                      negative_slope=0.2)
             soft = segment_softmax(evals, adj.row, adj.n_rows)
             out = segmented_weighted_gather_sum(adj.row, adj.col, soft,
                                                 mapped, adj.n_rows)

@@ -10,6 +10,17 @@ VMEM and accumulates the [TM, TN] distance tile feature-by-feature on the
 VPU, then folds it straight into the exact-rank counters — the full
 distance matrix never exists anywhere.
 
+`inner_rank_both`: the MXU analog for the inner/cosine family (reference
+alignment.py:69-80 test() prints BOTH the plain and CSLS metric
+families).  The blocked XLA rank pass materializes each [block, n2] sim
+slab in HBM and re-reads it for the gold-take / greater-count / tie /
+argmax passes — measured 22% of f32 peak at 100K eval scale while the
+bare sim matmul runs at 90+ TF/s.  Here each [TM, TN] sim tile stays in
+registers/VMEM and feeds BOTH families' rank counters and arg-bests
+before being discarded: the CSLS comparison 2*s - r1_i - r2_j vs the
+gold's CSLS value reduces to (2*s - r2_j) > (2*gv_i - r2[gold_i]) — r1
+cancels — so one tile serves plain and CSLS without a second matmul.
+
 Rank semantics match ops/ranking.rank_and_argmax: rank(gold) = the count
 of strictly-closer non-gold candidates (exact float ties between distinct
 candidates are measure-zero in continuous embeddings).
@@ -27,8 +38,10 @@ from jax.experimental import pallas as pl
 _NEG = -3.4e38
 
 
-def _manhattan_rank_kernel(e1t_ref, e2t_ref, gold_ref, goldd_ref,
-                           rank_ref, best_ref, bestd_ref, feat_chunk: int):
+def _manhattan_rank_kernel(e1t_ref, e2t_ref, gold_ref, goldd_ref, r2_ref,
+                           tcs_ref, rank_ref, best_ref, bestd_ref,
+                           rankc_ref, bestc_ref, bestcd_ref,
+                           feat_chunk: int, csls: bool):
     j = pl.program_id(1)
     tm = e1t_ref.shape[1]
     tn = e2t_ref.shape[1]
@@ -39,6 +52,9 @@ def _manhattan_rank_kernel(e1t_ref, e2t_ref, gold_ref, goldd_ref,
         rank_ref[:] = jnp.zeros_like(rank_ref)
         best_ref[:] = jnp.zeros_like(best_ref)
         bestd_ref[:] = jnp.full_like(bestd_ref, _NEG)
+        rankc_ref[:] = jnp.zeros_like(rankc_ref)
+        bestc_ref[:] = jnp.zeros_like(bestc_ref)
+        bestcd_ref[:] = jnp.full_like(bestcd_ref, _NEG)
 
     # both operands are [D, tile] so feature chunks slice the SUBLANE dim
     # (dynamic lane-dim slices don't lower on TPU); fori_loop reuses one
@@ -71,6 +87,21 @@ def _manhattan_rank_kernel(e1t_ref, e2t_ref, gold_ref, goldd_ref,
     better = tile_best > bestd_ref[:]
     bestd_ref[:] = jnp.where(better, tile_best, bestd_ref[:])
     best_ref[:] = jnp.where(better, tile_idx, best_ref[:])
+
+    if csls:
+        # CSLS over cityblock similarity 1 - dist: the comparison
+        # 2*(1-d_ij) - r1_i - r2_j > gold's reduces to
+        # (-2*d_ij - r2_j) > (-2*gd_i - r2[gold_i]) — constants and r1
+        # cancel.  Padding columns carry huge dist -> sc ~ -inf.
+        sc = -2.0 * dist - r2_ref[:]
+        closer_c = ((sc > tcs_ref[:]) & (col != gold_c)).astype(jnp.int32)
+        rankc_ref[:] += jnp.sum(closer_c, axis=1, keepdims=True)
+        tile_best = jnp.max(sc, axis=1, keepdims=True)
+        tile_idx = (jnp.argmax(sc, axis=1).astype(jnp.int32)[:, None]
+                    + j * tn)
+        better = tile_best > bestcd_ref[:]
+        bestcd_ref[:] = jnp.where(better, tile_best, bestcd_ref[:])
+        bestc_ref[:] = jnp.where(better, tile_idx, bestc_ref[:])
 
 
 def _cityblock_mat_kernel(e1t_ref, e2t_ref, out_ref, feat_chunk: int):
@@ -115,13 +146,165 @@ def cityblock_matrix(embed1: jax.Array, embed2: jax.Array, tm: int = 256,
     return out[:n1, :n2]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("tm", "tn", "feat_chunk", "interpret"))
-def manhattan_rank(embed1: jax.Array, embed2: jax.Array, gold_cols: jax.Array,
-                   tm: int = 256, tn: int = 512, feat_chunk: int = 8,
-                   interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
-    """(rank_index[n1] i32, argbest[n1] i32) under cityblock similarity
-    1 - ||x - y||_1 (constant shift leaves ranks unchanged)."""
+_PRECS = {"highest": jax.lax.Precision.HIGHEST,
+          "default": jax.lax.Precision.DEFAULT}
+
+
+def _inner_rank_kernel(e1_ref, e2_ref, gold_ref, goldv_ref, r2_ref,
+                       tcs_ref, sq1_ref, sq2_ref,
+                       rank_ref, best_ref, bestv_ref,
+                       rankc_ref, bestc_ref, bestcv_ref,
+                       *, n2: int, precision: str, csls: bool,
+                       metric: str):
+    j = pl.program_id(1)
+    tm, tn = rank_ref.shape[0], e2_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        rank_ref[:] = jnp.zeros_like(rank_ref)
+        best_ref[:] = jnp.zeros_like(best_ref)
+        bestv_ref[:] = jnp.full_like(bestv_ref, _NEG)
+        rankc_ref[:] = jnp.zeros_like(rankc_ref)
+        bestc_ref[:] = jnp.zeros_like(bestc_ref)
+        bestcv_ref[:] = jnp.full_like(bestcv_ref, _NEG)
+
+    s = jax.lax.dot_general(e1_ref[:], e2_ref[:], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_PRECS[precision])        # [TM, TN]
+    if metric == "euclidean":
+        # sim = 1 - ||x - y||_2 (ops/similarity._pairwise) from the same
+        # MXU dot via the norm expansion; sqrt runs on the VPU per tile
+        d2 = jnp.maximum(sq1_ref[:] + sq2_ref[:] - 2.0 * s, 0.0)
+        s = 1.0 - jnp.sqrt(d2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1) + j * tn
+    gold_c = gold_ref[:]                                        # [TM, 1]
+    valid = (col < n2) & (col != gold_c)
+
+    closer = (s > goldv_ref[:]) & valid
+    rank_ref[:] += jnp.sum(closer.astype(jnp.int32), axis=1, keepdims=True)
+    sm = jnp.where(col < n2, s, _NEG)
+    tile_best = jnp.max(sm, axis=1, keepdims=True)
+    tile_idx = jnp.argmax(sm, axis=1).astype(jnp.int32)[:, None] + j * tn
+    better = tile_best > bestv_ref[:]
+    bestv_ref[:] = jnp.where(better, tile_best, bestv_ref[:])
+    best_ref[:] = jnp.where(better, tile_idx, best_ref[:])
+
+    if csls:
+        sc = 2.0 * s - r2_ref[:]                 # r2 tile broadcast [1, TN]
+        closer_c = (sc > tcs_ref[:]) & valid
+        rankc_ref[:] += jnp.sum(closer_c.astype(jnp.int32), axis=1,
+                                keepdims=True)
+        scm = jnp.where(col < n2, sc, _NEG)
+        tile_best = jnp.max(scm, axis=1, keepdims=True)
+        tile_idx = jnp.argmax(scm, axis=1).astype(jnp.int32)[:, None] + j * tn
+        better = tile_best > bestcv_ref[:]
+        bestcv_ref[:] = jnp.where(better, tile_best, bestcv_ref[:])
+        bestc_ref[:] = jnp.where(better, tile_idx, bestc_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("csls", "tm", "tn",
+                                             "precision", "interpret",
+                                             "metric"))
+def inner_rank_both(embed1: jax.Array, embed2: jax.Array,
+                    gold_cols: jax.Array, r2=None, r2_gold=None,
+                    csls: bool = True, tm: int = 0, tn: int = 0,
+                    precision: str = "highest", interpret: bool = False,
+                    metric: str = "inner"):
+    """Fused MXU exact-rank for the plain AND (optionally) CSLS metric
+    families in one matmul pass: (rank, best, rank_csls, best_csls),
+    each [n1] i32 (csls outputs None when csls=False).
+
+    ``metric``: 'inner' or 'euclidean' (1 - L2, derived from the same
+    dot tile via the norm expansion).
+    ``r2`` [n2]: mean top-k sim of each CANDIDATE against all queries
+    (blocked_row_topk_means(embed2, embed1)); ``r2_gold`` [n1] = r2 at
+    each row's gold column.  The r1 row statistic cancels from every
+    CSLS comparison, so it is never needed."""
+    n1, d0 = embed1.shape
+    n2 = embed2.shape[0]
+    d = -(-d0 // 128) * 128          # lane-align features (zeros: dot safe)
+    if not tm:
+        # e1/e2 tiles are double-buffered in VMEM (~16 MB/core): size
+        # (tm + tn) so 2 * (tm + 2*tm) * d * 4 stays under ~12 MB —
+        # wide concat embeddings (AliNet eval: d ~ 1300) need smaller
+        # tiles than the d=128 default
+        tm = max(128, min(512, (12 * 2 ** 20 // (24 * d)) // 128 * 128))
+        tn = 2 * tm
+    m = -(-n1 // tm) * tm
+    n = -(-n2 // tn) * tn
+    e1 = jnp.zeros((m, d), jnp.float32).at[:n1, :d0].set(embed1)
+    e2 = jnp.zeros((n, d), jnp.float32).at[:n2, :d0].set(embed2)
+
+    gold = gold_cols.astype(jnp.int32)
+    # gold sim via the SAME contraction the tiles use (dot_general row-
+    # wise), so the exclude-gold-column + strict-> semantics are the only
+    # tie surface (see module docstring)
+    gv = jnp.sum(embed1 * embed2[gold], axis=1, dtype=jnp.float32)
+    sq1p = jnp.zeros((m, 1), jnp.float32)
+    sq2p = jnp.zeros((1, n), jnp.float32)
+    if metric == "euclidean":
+        sq1 = jnp.sum(jnp.square(embed1), axis=1, dtype=jnp.float32)
+        sq2 = jnp.sum(jnp.square(embed2), axis=1, dtype=jnp.float32)
+        sq1p = sq1p.at[:n1, 0].set(sq1)
+        sq2p = sq2p.at[0, :n2].set(sq2)
+        gv = 1.0 - jnp.sqrt(jnp.maximum(sq1 + sq2[gold] - 2.0 * gv, 0.0))
+    goldp = jnp.zeros((m, 1), jnp.int32).at[:n1, 0].set(gold)
+    goldvp = jnp.full((m, 1), 3.4e38, jnp.float32).at[:n1, 0].set(gv)
+    if csls:
+        assert r2 is not None and r2_gold is not None
+        r2p = jnp.zeros((1, n), jnp.float32).at[0, :n2].set(r2)
+        tcs = 2.0 * gv - r2_gold
+        tcsp = jnp.full((m, 1), 3.4e38, jnp.float32).at[:n1, 0].set(tcs)
+    else:
+        r2p = jnp.zeros((1, n), jnp.float32)
+        tcsp = jnp.full((m, 1), 3.4e38, jnp.float32)
+
+    grid = (m // tm, n // tn)
+    kernel = functools.partial(_inner_rank_kernel, n2=n2,
+                               precision=precision, csls=csls,
+                               metric=metric)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((tn, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j)),
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j)),
+        ],
+        out_specs=[pl.BlockSpec((tm, 1), lambda i, j: (i, 0))] * 6,
+        out_shape=[jax.ShapeDtypeStruct((m, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.float32)],
+        interpret=interpret,
+    )(e1, e2, goldp, goldvp, r2p, tcsp, sq1p, sq2p)
+    rank, best, _, rank_c, best_c, _ = outs
+    if csls:
+        return (rank[:n1, 0], best[:n1, 0], rank_c[:n1, 0], best_c[:n1, 0])
+    return rank[:n1, 0], best[:n1, 0], None, None
+
+
+@functools.partial(jax.jit, static_argnames=("csls", "tm", "tn",
+                                             "feat_chunk", "interpret"))
+def manhattan_rank_both(embed1: jax.Array, embed2: jax.Array,
+                        gold_cols: jax.Array, r2=None, r2_gold=None,
+                        csls: bool = True, tm: int = 256, tn: int = 512,
+                        feat_chunk: int = 8, interpret: bool = False):
+    """Fused cityblock exact-rank for the plain AND (optionally) CSLS
+    families in one distance pass: (rank, best, rank_csls, best_csls),
+    each [n1] i32 (csls outputs None when csls=False).
+
+    Cityblock similarity is 1 - ||x - y||_1; ``r2`` [n2] is the mean
+    top-k of that similarity per CANDIDATE (blocked_row_topk_means with
+    metric='manhattan'), ``r2_gold`` [n1] its value at each row's gold
+    column.  r1 cancels from every CSLS comparison."""
     n1, d0 = embed1.shape
     n2 = embed2.shape[0]
     # pad features to the chunk, rows/cols to tiles
@@ -142,10 +325,19 @@ def manhattan_rank(embed1: jax.Array, embed2: jax.Array, gold_cols: jax.Array,
     gold_dist = jnp.sum(jnp.abs(embed1 - gold_vecs), axis=1, keepdims=True)
     goldp = jnp.zeros((m, 1), jnp.int32).at[:n1, 0].set(gold)
     golddp = jnp.full((m, 1), -1.0, jnp.float32).at[:n1].set(gold_dist)
+    if csls:
+        assert r2 is not None and r2_gold is not None
+        r2p = jnp.zeros((1, n), jnp.float32).at[0, :n2].set(r2)
+        tcs = -2.0 * gold_dist[:, 0] - r2_gold
+        tcsp = jnp.full((m, 1), 3.4e38, jnp.float32).at[:n1, 0].set(tcs)
+    else:
+        r2p = jnp.zeros((1, n), jnp.float32)
+        tcsp = jnp.full((m, 1), 3.4e38, jnp.float32)
 
     grid = (m // tm, n // tn)
-    kernel = functools.partial(_manhattan_rank_kernel, feat_chunk=feat_chunk)
-    rank, best, _ = pl.pallas_call(
+    kernel = functools.partial(_manhattan_rank_kernel,
+                               feat_chunk=feat_chunk, csls=csls)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -153,17 +345,30 @@ def manhattan_rank(embed1: jax.Array, embed2: jax.Array, gold_cols: jax.Array,
             pl.BlockSpec((d, tn), lambda i, j: (0, j)),
             pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j)),
             pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((m, 1), jnp.int32),
-            jax.ShapeDtypeStruct((m, 1), jnp.int32),
-            jax.ShapeDtypeStruct((m, 1), jnp.float32),
-        ],
+        out_specs=[pl.BlockSpec((tm, 1), lambda i, j: (i, 0))] * 6,
+        out_shape=[jax.ShapeDtypeStruct((m, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.float32)],
         interpret=interpret,
-    )(e1t, e2t, goldp, golddp)
-    return rank[:n1, 0], best[:n1, 0]
+    )(e1t, e2t, goldp, golddp, r2p, tcsp)
+    rank, best, _, rank_c, best_c, _ = outs
+    if csls:
+        return (rank[:n1, 0], best[:n1, 0], rank_c[:n1, 0], best_c[:n1, 0])
+    return rank[:n1, 0], best[:n1, 0], None, None
+
+
+def manhattan_rank(embed1: jax.Array, embed2: jax.Array, gold_cols: jax.Array,
+                   tm: int = 256, tn: int = 512, feat_chunk: int = 8,
+                   interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """(rank_index[n1] i32, argbest[n1] i32) under cityblock similarity
+    1 - ||x - y||_1 (constant shift leaves ranks unchanged)."""
+    rank, best, _, _ = manhattan_rank_both(
+        embed1, embed2, gold_cols, csls=False, tm=tm, tn=tn,
+        feat_chunk=feat_chunk, interpret=interpret)
+    return rank, best

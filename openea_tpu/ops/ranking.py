@@ -42,6 +42,35 @@ def rank_and_argmax(embed1: jax.Array, embed2: jax.Array,
         from openea_tpu.ops.pallas_kernels import manhattan_rank
         return manhattan_rank(embed1, embed2, gold_cols.astype(jnp.int32))
 
+    if (metric in ("inner", "euclidean")
+            and jax.devices()[0].platform == "tpu"):
+        # fused MXU matmul + rank counting: each sim tile feeds the
+        # counters in VMEM instead of round-tripping a [block, n2] slab
+        # through HBM (ops/pallas_kernels.inner_rank_both)
+        from openea_tpu.ops.pallas_kernels import inner_rank_both
+        gold = gold_cols.astype(jnp.int32)
+        if csls_k > 0:
+            # csls_k > 0 in rank_and_argmax means: rank under CSLS only
+            r2k = blocked_row_topk_means(embed2, embed1, csls_k, block,
+                                         metric, False)
+            _, _, rk2, best2 = inner_rank_both(embed1, embed2, gold,
+                                               r2=r2k, r2_gold=r2k[gold],
+                                               metric=metric)
+            return rk2, best2
+
+    if (metric in ("manhattan", "cityblock") and csls_k > 0
+            and jax.devices()[0].platform == "tpu"):
+        from openea_tpu.ops.pallas_kernels import manhattan_rank_both
+        gold = gold_cols.astype(jnp.int32)
+        r2k = blocked_row_topk_means(embed2, embed1, csls_k, block,
+                                     metric, False)
+        _, _, rk2, best2 = manhattan_rank_both(embed1, embed2, gold,
+                                               r2=r2k, r2_gold=r2k[gold])
+        return rk2, best2
+        rk, best, _, _ = inner_rank_both(embed1, embed2, gold, csls=False,
+                                         metric=metric)
+        return rk, best
+
     r1 = r2 = None
     if csls_k > 0:
         r1 = blocked_row_topk_means(embed1, embed2, csls_k, block, metric, False)
@@ -98,6 +127,21 @@ def rank_and_argmax_both(embed1: jax.Array, embed2: jax.Array,
         embed1 = l2_normalize(embed1)
         embed2 = l2_normalize(embed2)
         metric = "inner" if metric == "cosine" else metric
+
+    if (metric in ("inner", "euclidean", "manhattan", "cityblock")
+            and jax.devices()[0].platform == "tpu"):
+        # one fused pass serves BOTH families; the r1 row statistic
+        # cancels from the CSLS comparisons, saving its whole top-k pass
+        from openea_tpu.ops.pallas_kernels import (inner_rank_both,
+                                                   manhattan_rank_both)
+        gold = gold_cols.astype(jnp.int32)
+        r2k = blocked_row_topk_means(embed2, embed1, csls_k, block,
+                                     metric, False)
+        if metric in ("manhattan", "cityblock"):
+            return manhattan_rank_both(embed1, embed2, gold, r2=r2k,
+                                       r2_gold=r2k[gold])
+        return inner_rank_both(embed1, embed2, gold, r2=r2k,
+                               r2_gold=r2k[gold], metric=metric)
 
     r1 = blocked_row_topk_means(embed1, embed2, csls_k, block, metric, False)
     r2 = blocked_row_topk_means(embed2, embed1, csls_k, block, metric, False)

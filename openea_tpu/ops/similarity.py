@@ -90,9 +90,18 @@ def blocked_row_topk_means(embed1, embed2, k: int, block: int = 4096,
         metric = "inner" if metric == "cosine" else metric
     e1p, nb, _ = _pad_rows(embed1, block)
     blocks = e1p.reshape(nb, block, e1p.shape[1])
+    # the XLA manhattan formulation broadcasts an [block, n2, d]
+    # intermediate through HBM (the 10+ s cost of the 100K CSLS-manhattan
+    # eval); the Pallas kernel streams VMEM tiles instead
+    pallas_manhattan = (metric in ("manhattan", "cityblock")
+                        and jax.devices()[0].platform == "tpu")
 
     def one(block_rows):
-        s = _pairwise(block_rows, embed2, metric, False)
+        if pallas_manhattan:
+            from openea_tpu.ops.pallas_kernels import cityblock_matrix
+            s = 1.0 - cityblock_matrix(block_rows, embed2)
+        else:
+            s = _pairwise(block_rows, embed2, metric, False)
         top, _ = jax.lax.top_k(s, k)
         return jnp.mean(top, axis=1)
 

@@ -554,6 +554,400 @@ def make_dynamic_csr_spmm(meta: ChunkMeta, meta_t: ChunkMeta,
                                        block_chunks, precision)
 
 
+# --------------------------------------------------------------------- #
+# fully-fused attention SpMM (AliNet 2-hop aggregation)
+# --------------------------------------------------------------------- #
+#
+# The dyn_csr_spmm route pays three per-edge SCALAR costs that dominate
+# the attention path (profiled at the 100K shape, run/profile_dyn_spmm):
+#   * the caller's s1[row] / s2[col] gathers (4-byte random reads),
+#   * their autodiff transposes (scatter-adds of per-edge scalars),
+#   * _scatter_val's [NC*EC] permutation gather (~40 ms of a 55 ms fwd).
+# TPU HBM moves 512-byte rows well and lone floats terribly, so this op
+# computes the per-edge logits INSIDE the kernel instead:
+#   * s1[row] is window-local -> broadcast via the one-hot sel matrix
+#     that the aggregation already builds (one tiny MXU contraction);
+#   * s2[col] rides the feature gather as an extra column of `feats`
+#     (the [x | 1] augmentation already pads 129 -> 256 lanes, so the
+#     extra column is free);
+#   * the static adjacency weights are pre-permuted into chunk layout
+#     once on host (chunk_vals), never per step.
+# Backward recomputes w in both edge orders (fwd structure for ds1,
+# transpose structure for dfeats), so NO per-edge scalar ever crosses
+# HBM in either direction.
+#
+# Semantics (reference alinet.py:581,674-676):
+#   w_e = exp(leaky_relu(v_e * (s1[row_e] + s2[col_e]), 0.2))
+#   out[r, :] = sum_{e: row_e = r} w_e * feats[col_e, :]
+# feats must be [x | ones | s2 | 0-pad] with x having `d_agg` columns;
+# out[:, :d_agg] is the weighted sum and out[:, d_agg] the softmax
+# denominator (evals are bounded — |v*(s1+s2)| <= 2 max|v| for tanh
+# scores — so no max shift is needed, same argument as the folded
+# softmax in models/alinet.py).
+
+
+def chunk_vals(meta: ChunkMeta, val: np.ndarray) -> np.ndarray:
+    """Static per-edge values -> chunk layout [NC, 8, EC//8] (host numpy;
+    pad slots 0).  The per-step permutation this replaces is a [NC*EC]
+    scalar gather — ~40 ms at the 100K shape."""
+    n_chunks = meta.window.shape[0]
+    ext = np.concatenate([np.asarray(val, np.float32), np.zeros(1, np.float32)])
+    return ext[np.asarray(meta.inv_slots)].reshape(n_chunks, 8, EC // 8)
+
+
+def _att_edge_w(v, s1e, s2e):
+    pre = v * (s1e + s2e)
+    slope = jnp.where(pre >= 0, 1.0, 0.2)
+    w = jnp.exp(pre * slope) * (v != 0).astype(jnp.float32)
+    return w, slope
+
+
+def _sel_dot(a, b, dims):
+    """One-hot SELECTION contraction (each output element copies one
+    input element, so there is no accumulation error): Mosaic lowers
+    skinny dots either as broadcast-multiply (which rejects mixed
+    dtypes) or as tpu.matmul (which demands a 32-bit accumulator), so
+    cast BOTH operands to f32 up front."""
+    return jax.lax.dot_general(a.astype(jnp.float32),
+                               b.astype(jnp.float32), (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _att_fwd_kernel(win_ref, first_ref, val_ref, rowloc_ref, s1_ref, p_ref,
+                    out_ref, *, d_agg: int, precision: str):
+    i = pl.program_id(0)
+
+    @pl.when(first_ref[i] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    F = p_ref.shape[1]
+    rl = rowloc_ref[0].reshape(1, EC)
+    v = val_ref[0].reshape(1, EC)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (TM, EC), 0)
+           == rl).astype(jnp.float32)
+    # s1 per edge: window-local broadcast through the one-hot rows
+    s1e = jax.lax.dot_general(s1_ref[:], sel, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [1, EC]
+    # s2 per edge: the s2 column of the gathered features
+    e_s2 = (jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)
+            == d_agg + 1).astype(p_ref.dtype)
+    s2e = _sel_dot(e_s2, p_ref[:], ((1,), (1,)))                   # [1, EC]
+    w, _ = _att_edge_w(v, s1e, s2e)
+    s = (sel * w).astype(p_ref.dtype)
+    out_ref[:] += jnp.dot(s, p_ref[:], preferred_element_type=jnp.float32,
+                          precision=_PRECISIONS[precision])
+
+
+def _att_ds1_kernel(win_ref, first_ref, val_ref, rowloc_ref, s1_ref, p_ref,
+                    g_ref, ds1_ref, *, d_agg: int, precision: str):
+    i = pl.program_id(0)
+
+    @pl.when(first_ref[i] == 1)
+    def _():
+        ds1_ref[:] = jnp.zeros_like(ds1_ref)
+
+    F = p_ref.shape[1]
+    rl = rowloc_ref[0].reshape(1, EC)
+    v = val_ref[0].reshape(1, EC)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (TM, EC), 0)
+           == rl).astype(jnp.float32)
+    s1e = jax.lax.dot_general(s1_ref[:], sel, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    e_s2 = (jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)
+            == d_agg + 1).astype(p_ref.dtype)
+    s2e = _sel_dot(e_s2, p_ref[:], ((1,), (1,)))
+    w, slope = _att_edge_w(v, s1e, s2e)
+    # dw_e = <g[row_e], feats[col_e]> — g rows beyond d_agg are zero by
+    # construction, so the full-F contraction is exact
+    m = jax.lax.dot_general(g_ref[:], p_ref[:], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_PRECISIONS[precision])      # [TM, EC]
+    dw = jnp.sum(sel * m, axis=0, keepdims=True)                  # [1, EC]
+    beta = dw * w * slope * v                                     # dpre * v
+    ds1_ref[:] += jax.lax.dot_general(sel, beta, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+
+def _att_dfeats_kernel(win_ref, first_ref, val_ref, rowloc_ref, x_ref,
+                       g_ref, out_ref, *, d_agg: int, precision: str):
+    """Transpose-structure pass: per SOURCE row c,
+    dfeats[c] = sum_e w_e * g_aug[row_e]  (+ the s2-column term).
+    x_ref: feats rows of this T-window [TM, F]; g_ref: [g_aug | s1]
+    gathered by the transpose col indices (= original rows) [EC, F]."""
+    i = pl.program_id(0)
+
+    @pl.when(first_ref[i] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    F = x_ref.shape[1]
+    rl = rowloc_ref[0].reshape(1, EC)
+    v = val_ref[0].reshape(1, EC)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (TM, EC), 0)
+           == rl).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)
+    e_s1 = (lane == d_agg + 1).astype(g_ref.dtype)   # s1 col of g_slim
+    e_s2 = (lane == d_agg + 1).astype(x_ref.dtype)   # s2 col of feats
+    gmask = (lane <= d_agg).astype(g_ref.dtype)      # g_aug cols 0..d_agg
+    # s1 per edge from the gathered g_slim; s2 per edge from the resident
+    # feats block (broadcast through the one-hot like the fwd s1)
+    s1e = _sel_dot(e_s1, g_ref[:], ((1,), (1,)))                   # [1, EC]
+    x_s2 = _sel_dot(x_ref[:], e_s2, ((1,), (1,)))                  # [TM, 1]
+    s2e = jax.lax.dot_general(x_s2, sel, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [1, EC]
+    w, slope = _att_edge_w(v, s1e, s2e)
+    # dw_e = <g_aug[row_e], feats[col_e]>: mask BOTH sides to cols
+    # 0..d_agg so the s1/s2 carrier columns don't pollute the contraction
+    m = jax.lax.dot_general(x_ref[:] * gmask.astype(x_ref.dtype),
+                            g_ref[:] * gmask,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_PRECISIONS[precision])      # [TM, EC]
+    dw = jnp.sum(sel * m, axis=0, keepdims=True)
+    beta = dw * w * slope * v                                     # [1, EC]
+    main = jnp.dot((sel * w).astype(g_ref.dtype), g_ref[:] * gmask,
+                   preferred_element_type=jnp.float32,
+                   precision=_PRECISIONS[precision])              # [TM, F]
+    ds2_win = jax.lax.dot_general(sel, beta, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    out_ref[:] += main + ds2_win * e_s2.astype(jnp.float32)
+
+
+def _att_pallas_fwd(val_c, rowloc, window, first, s1p, p, n_windows: int,
+                    d_agg: int, interpret: bool, precision: str):
+    nc = window.shape[0]
+    F = p.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((1, 8, EC // 8), lambda i, w, f: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, EC // 8), lambda i, w, f: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i, w, f: (w[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EC, F), lambda i, w, f: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, F), lambda i, w, f: (w[i], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_att_fwd_kernel, d_agg=d_agg, precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_windows * TM, F), jnp.float32),
+        interpret=interpret,
+    )(window, first, val_c, rowloc, s1p, p)
+
+
+def _att_pallas_ds1(val_c, rowloc, window, first, s1p, p, gp,
+                    n_windows: int, d_agg: int, interpret: bool,
+                    precision: str):
+    nc = window.shape[0]
+    F = p.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((1, 8, EC // 8), lambda i, w, f: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, EC // 8), lambda i, w, f: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i, w, f: (w[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EC, F), lambda i, w, f: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, F), lambda i, w, f: (w[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, 1), lambda i, w, f: (w[i], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_att_ds1_kernel, d_agg=d_agg, precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_windows * TM, 1), jnp.float32),
+        interpret=interpret,
+    )(window, first, val_c, rowloc, s1p, p, gp)
+
+
+def _att_pallas_dfeats(val_t, rowloc_t, window_t, first_t, xp, gT,
+                       n_windows: int, d_agg: int, interpret: bool,
+                       precision: str):
+    nc = window_t.shape[0]
+    F = xp.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((1, 8, EC // 8), lambda i, w, f: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, EC // 8), lambda i, w, f: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, F), lambda i, w, f: (w[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EC, F), lambda i, w, f: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, F), lambda i, w, f: (w[i], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_att_dfeats_kernel, d_agg=d_agg,
+                          precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_windows * TM, F), jnp.float32),
+        interpret=interpret,
+    )(window_t, first_t, val_t, rowloc_t, xp, gT)
+
+
+def _att_blocked(pallas_fn, meta: ChunkMeta, val_c, feats_src, S: int,
+                 win_arrays, out_cols: int, interpret: bool,
+                 precision: str):
+    """Mega-chunked driver shared by the three attention passes: scan
+    groups of S chunks so only [S*EC, F] of gathered rows materializes
+    (see _blocked_segment_matmul).  ``feats_src`` is gathered by
+    meta.col per mega; ``win_arrays`` are [n_windows*TM, k] per-window
+    operands (s1 / g / x blocks) sliced at each mega's window offset."""
+    NC = meta.window.shape[0]
+    assert NC % S == 0, (NC, S)
+    n_mega = NC // S
+    F = feats_src.shape[1]
+    W = S + 1
+    win_m = jnp.asarray(meta.window).reshape(n_mega, S)
+    first_m = jnp.asarray(meta.first).reshape(n_mega, S).at[:, 0].set(1)
+    cols_m = jnp.asarray(meta.col).reshape(n_mega, S * EC)
+    val_m = val_c.reshape(n_mega, S, 8, EC // 8)
+    rowloc_m = jnp.asarray(meta.rowloc).reshape(n_mega, S, 8, EC // 8)
+    pad_rows_n = meta.n_windows * TM + W * TM
+    win_padded = [jnp.pad(a, ((0, pad_rows_n - a.shape[0]), (0, 0)))
+                  for a in win_arrays]
+    out0 = jnp.zeros((pad_rows_n, out_cols), jnp.float32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (W * TM, 1), 0)
+
+    def body(out, args):
+        w, f, c, v, rl = args
+        w0 = w[0]
+        p = feats_src[c]
+        segs = [jax.lax.dynamic_slice(a, (w0 * TM, 0), (W * TM, a.shape[1]))
+                for a in win_padded]
+        mega = pallas_fn(v, rl, w - w0, f, *segs, p)
+        mega = jnp.where(row_ids < (w[-1] - w0 + 1) * TM, mega, 0.0)
+        seg = jax.lax.dynamic_slice(out, (w0 * TM, 0), (W * TM, out_cols))
+        return jax.lax.dynamic_update_slice(out, seg + mega, (w0 * TM, 0)), None
+
+    out, _ = jax.lax.scan(body, out0, (win_m, first_m, cols_m, val_m,
+                                       rowloc_m))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def att_spmm(meta: ChunkMeta, meta_t: ChunkMeta, val_c, val_t, s1, feats,
+             d_agg: int, interpret: bool = False, block_chunks: int = 0,
+             precision: str = "highest"):
+    """Fused attention aggregation y[r] = sum_e w_e * feats[col_e] with
+    w_e = exp(leaky_relu(v_e * (s1[row_e] + s2[col_e]), 0.2)) computed
+    IN-KERNEL (see the section comment above for why).
+
+    feats [n, F]: [x (d_agg) | ones | s2 | 0-pad to a lane multiple];
+    returns [n, F] whose first d_agg columns are the weighted sums and
+    column d_agg the denominator.  val_c / val_t: static chunk-layout
+    edge weights (chunk_vals(meta, val) / chunk_vals(meta_t, val)).
+    Differentiable in s1 and feats."""
+    return _att_forward(meta, val_c, s1, feats, d_agg, interpret,
+                        block_chunks, precision)
+
+
+def _att_cast(x, precision):
+    return x.astype(jnp.bfloat16 if precision == "default" else jnp.float32)
+
+
+def _att_forward(meta, val_c, s1, feats, d_agg, interpret, block_chunks,
+                 precision):
+    xp = _att_cast(feats, precision)
+    s1p = jnp.zeros((meta.n_windows * TM, 1), jnp.float32)
+    s1p = s1p.at[:s1.shape[0], 0].set(s1)
+    val_j = jnp.asarray(val_c)
+    if block_chunks and meta.window.shape[0] > block_chunks:
+        fn = functools.partial(
+            lambda v, rl, w, f, s1seg, p: _att_pallas_fwd(
+                v, rl, w, f, s1seg, p, block_chunks + 1, d_agg, interpret,
+                precision))
+        out = _att_blocked(fn, meta, val_j, xp, block_chunks, [s1p],
+                           xp.shape[1], interpret, precision)
+    else:
+        p = xp[jnp.asarray(meta.col)]
+        out = _att_pallas_fwd(val_j, jnp.asarray(meta.rowloc), meta.window,
+                              meta.first, s1p, p, meta.n_windows, d_agg,
+                              interpret, precision)
+    return out[:meta.n_rows]
+
+
+def _att_fwd_rule(meta, meta_t, val_c, val_t, s1, feats, d_agg, interpret,
+                  block_chunks, precision):
+    out = _att_forward(meta, val_c, s1, feats, d_agg, interpret,
+                       block_chunks, precision)
+    return out, (meta, meta_t, val_c, val_t, s1, feats)
+
+
+def _att_bwd_rule(d_agg, interpret, block_chunks, precision, res, g):
+    meta, meta_t, val_c, val_t, s1, feats = res
+    n = feats.shape[0]
+    F = feats.shape[1]
+    xp = _att_cast(feats, precision)
+    val_j = jnp.asarray(val_c)
+    val_tj = jnp.asarray(val_t)
+    s1p = jnp.zeros((meta.n_windows * TM, 1), jnp.float32)
+    s1p = s1p.at[:n, 0].set(s1)
+    gp = _att_cast(jnp.pad(g.astype(jnp.float32),
+                           ((0, meta.n_windows * TM - n), (0, 0))),
+                   precision)
+
+    # ds1: forward edge structure, per-window accumulation
+    if block_chunks and meta.window.shape[0] > block_chunks:
+        fn = functools.partial(
+            lambda v, rl, w, f, s1seg, gseg, p: _att_pallas_ds1(
+                v, rl, w, f, s1seg, p, gseg, block_chunks + 1, d_agg,
+                interpret, precision))
+        ds1 = _att_blocked(fn, meta, val_j, xp, block_chunks, [s1p, gp],
+                           1, interpret, precision)
+    else:
+        p = xp[jnp.asarray(meta.col)]
+        ds1 = _att_pallas_ds1(val_j, jnp.asarray(meta.rowloc), meta.window,
+                              meta.first, s1p, p, gp, meta.n_windows,
+                              d_agg, interpret, precision)
+    ds1 = ds1[:n, 0]
+
+    # dfeats: transpose edge structure; s1 rides the g gather as the
+    # column d_agg+1 carrier (g's own column there is the spurious
+    # s2-aggregate output the caller never reads, i.e. zero)
+    g_slim = g.astype(jnp.float32).at[:, d_agg + 1].set(s1)
+    g_slim = _att_cast(g_slim, precision)
+    xw = jnp.pad(xp, ((0, meta_t.n_windows * TM - n), (0, 0)))
+    if block_chunks and meta_t.window.shape[0] > block_chunks:
+        fn = functools.partial(
+            lambda v, rl, w, f, xseg, gT: _att_pallas_dfeats(
+                v, rl, w, f, xseg, gT, block_chunks + 1, d_agg, interpret,
+                precision))
+        dfeats = _att_blocked(fn, meta_t, val_tj, g_slim, block_chunks,
+                              [xw], F, interpret, precision)
+    else:
+        gT = g_slim[jnp.asarray(meta_t.col)]
+        dfeats = _att_pallas_dfeats(val_tj, jnp.asarray(meta_t.rowloc),
+                                    meta_t.window, meta_t.first, xw, gT,
+                                    meta_t.n_windows, d_agg, interpret,
+                                    precision)
+    dfeats = dfeats[:n].astype(feats.dtype)
+    return (_float0_zeros(meta), _float0_zeros(meta_t),
+            _float0_zeros(val_c), _float0_zeros(val_t),
+            ds1.astype(s1.dtype), dfeats)
+
+
+att_spmm.defvjp(_att_fwd_rule, _att_bwd_rule)
+
+
 def metas_from_coo(row: np.ndarray, col: np.ndarray, n_rows: int,
                    n_cols: int | None = None, pad_chunks_to: int = 1):
     """(meta, meta_T) pair for make_dynamic_csr_spmm / dyn_csr_spmm."""

@@ -159,6 +159,40 @@ def main(argv=None):
                timeit(g_dyn, vj, xj, meta, meta_t),
                edges=3 * nnz, bytes_moved=3 * spmm_bytes)
 
+        # fully-fused attention SpMM (the AliNet path: per-edge logits
+        # computed in-kernel, round-3): the honest unit is the WHOLE
+        # attention op incl. logits, softmax and backward
+        from openea_tpu.ops.spmm_pallas import att_spmm, chunk_vals
+        Sa = 256
+        meta_a, meta_at = metas_from_coo(row, col, n, pad_chunks_to=Sa)
+        avc = jnp.asarray(chunk_vals(meta_a, val))
+        avt = jnp.asarray(chunk_vals(meta_at, val))
+        meta_a, meta_at = meta_a.device_put(), meta_at.device_put()
+        rng_a = np.random.RandomState(7)
+        s1 = jnp.asarray(np.tanh(rng_a.randn(n)).astype(np.float32))
+        Fa = 256
+        feats = np.zeros((n, Fa), np.float32)
+        feats[:, :d] = np.asarray(x)
+        feats[:, d] = 1.0
+        feats[:, d + 1] = np.tanh(rng_a.randn(n)).astype(np.float32)
+        fj = jnp.asarray(feats)
+        for prec in ("highest", "default"):
+            f_att = jax.jit(lambda m, mt, vc, vt, s, f, p=prec: att_spmm(
+                m, mt, vc, vt, s, f, d, False, Sa, p))
+            report(f"fused attention fwd ({prec})",
+                   timeit(f_att, meta_a, meta_at, avc, avt, s1, fj),
+                   edges=nnz, bytes_moved=spmm_bytes)
+
+            def att_loss(s, f, m, mt, vc, vt, p=prec):
+                out = att_spmm(m, mt, vc, vt, s, f, d, False, Sa, p)
+                return jnp.sum(jnp.tanh(
+                    out[:, :d] / jnp.maximum(out[:, d:d + 1], 1e-30)))
+
+            g_att = jax.jit(jax.grad(att_loss, argnums=(0, 1)))
+            report(f"fused attention fwd+bwd ({prec})",
+                   timeit(g_att, s1, fj, meta_a, meta_at, avc, avt),
+                   edges=3 * nnz, bytes_moved=3 * spmm_bytes)
+
     # eval similarity matmul (compute-bound) + blocked exact rank;
     # blocked like the real eval path — the full [n_test, n_cand] sim
     # matrix is 8.4 GB at 100K and must never materialize
@@ -189,6 +223,17 @@ def main(argv=None):
 
     t = timeit(f_rank, e1, e2, warmup=1, iters=3)
     report("blocked exact-rank eval", t, flops=2.0 * n_test * n_cand * d)
+
+    # both metric families in one pass (plain + CSLS ranks/argmax); on
+    # TPU this is the fused Pallas inner_rank_both + one r2 top-k pass
+    from openea_tpu.ops.ranking import rank_and_argmax_both
+
+    def f_both(a, b):
+        return rank_and_argmax_both(a, b, gold, metric="inner", csls_k=10)
+
+    t = timeit(f_both, e1, e2, warmup=1, iters=3)
+    report("exact-rank both families (+csls)", t,
+           flops=2.0 * n_test * n_cand * d * 2)   # rank pass + r2 top-k pass
 
     if known.json:
         print(json.dumps({"backend": backend, "scale": known.scale,

@@ -121,7 +121,7 @@ def test_alinet_mesh_training_matches_single_device():
 
 @pytest.mark.slow
 def test_alinet_attention_pallas_wiring_matches_xla():
-    """The dyn_csr_spmm attention path (TPU) must equal the segment-sum
+    """The fused att_spmm attention path (TPU) must equal the segment-sum
     path bit-for-bit-ish, INCLUDING the edge-order contract between adj2
     and the chunk metas (adj2 is row-sorted = meta original order)."""
     import jax
@@ -147,15 +147,19 @@ def test_alinet_attention_pallas_wiring_matches_xla():
     model.args.att_precision = "highest"     # f32-exact for the parity check
 
     S = 4
+    from openea_tpu.ops.spmm_pallas import chunk_vals
     meta, meta_t = metas_from_coo(np.asarray(model.adj2.row),
                                   np.asarray(model.adj2.col),
                                   model.n_ents, pad_chunks_to=S)
+    val_np = np.asarray(model.adj2.val)
+    metas = (meta, meta_t, jnp.asarray(chunk_vals(meta, val_np)),
+             jnp.asarray(chunk_vals(meta_t, val_np)))
     model._att_block = S
     x = model.params["init_embedding"]
     out_xla = model._attention(model.params, 0, x, model.adj2, None)
     with pltpu.force_tpu_interpret_mode():
         out_pallas = model._attention(model.params, 0, x, model.adj2,
-                                      (meta, meta_t))
+                                      metas)
     err = float(jnp.abs(out_pallas - out_xla).max())
     assert err < 1e-5, err
 
@@ -169,7 +173,7 @@ def test_alinet_attention_pallas_wiring_matches_xla():
 
     g_xla = jax.grad(loss_with(None))(model.params)
     with pltpu.force_tpu_interpret_mode():
-        g_pal = jax.grad(loss_with((meta, meta_t)))(model.params)
+        g_pal = jax.grad(loss_with(metas))(model.params)
     for name in ("att_0_kernel", "att_0_kernel1", "init_embedding"):
         scale = float(jnp.abs(g_xla[name]).max()) + 1e-9
         derr = float(jnp.abs(g_pal[name] - g_xla[name]).max()) / scale
@@ -180,6 +184,6 @@ def test_alinet_attention_pallas_wiring_matches_xla():
     model.args.att_precision = "default"
     with pltpu.force_tpu_interpret_mode():
         out_bf16 = model._attention(model.params, 0, x, model.adj2,
-                                    (meta, meta_t))
+                                    metas)
     err_bf = float(jnp.abs(out_bf16 - out_xla).max())
     assert err_bf < 3e-2, err_bf

@@ -33,6 +33,7 @@ def _random_coo(n, density, rng, attr_max=0):
     return row, col, val, attr
 
 
+@pytest.mark.slow
 def test_softmax_spmm_matches_segment_softmax():
     """AliNet-style: logits from static edge weight x (dst + src scalars)."""
     rng = np.random.RandomState(0)
@@ -62,6 +63,7 @@ def test_softmax_spmm_matches_segment_softmax():
     np.testing.assert_allclose(got, expect, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_softmax_spmm_edge_attr_and_shared_partition():
     """RDGCN-style: logits from a replicated per-relation table gathered by
     the partitioned edge attribute; edge plan reuses the primal plan's

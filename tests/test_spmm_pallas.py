@@ -226,3 +226,115 @@ def test_forward_bf16_precision_close():
     gref = jax.grad(lambda xx: jnp.sum(jnp.tanh(spmm(adj, xx))))(jnp.asarray(x))
     gscale = float(jnp.abs(gref).max()) + 1e-9
     assert float(jnp.abs(g - gref).max()) / gscale < 2e-2
+
+
+# --------------------------------------------------------------------- #
+# fused attention SpMM (att_spmm)
+# --------------------------------------------------------------------- #
+
+def _att_ref(row, col, val, s1, s2, x):
+    """jnp reference of the att_spmm semantics (differentiable)."""
+    import jax
+    import jax.numpy as jnp
+    n, d = x.shape
+    pre = val * (s1[row] + s2[col])
+    w = jnp.exp(jax.nn.leaky_relu(pre, 0.2)) * (val != 0)
+    aug = jnp.concatenate([x, jnp.ones((n, 1), x.dtype)], axis=1)
+    return jax.ops.segment_sum(w[:, None] * aug[col], row, num_segments=n)
+
+
+def _att_setup(n, nnz, d, seed=0, pad_chunks_to=1):
+    import jax.numpy as jnp
+    from openea_tpu.ops.spmm_pallas import chunk_vals, metas_from_coo
+    rng = np.random.RandomState(seed)
+    row = rng.randint(0, n, nnz).astype(np.int32)
+    col = rng.randint(0, n, nnz).astype(np.int32)
+    val = (rng.rand(nnz).astype(np.float32) * 0.5 + 0.1)
+    meta, meta_t = metas_from_coo(row, col, n, pad_chunks_to=pad_chunks_to)
+    val_c = chunk_vals(meta, val)
+    val_t = chunk_vals(meta_t, val)
+    s1 = np.tanh(rng.randn(n)).astype(np.float32)
+    s2 = np.tanh(rng.randn(n)).astype(np.float32)
+    x = rng.randn(n, d).astype(np.float32)
+    F = -(-(d + 2) // 128) * 128
+    feats = np.zeros((n, F), np.float32)
+    feats[:, :d] = x
+    feats[:, d] = 1.0
+    feats[:, d + 1] = s2
+    return (row, col, val, meta, meta_t, val_c, val_t,
+            jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(x),
+            jnp.asarray(feats))
+
+
+@pytest.mark.parametrize("n,nnz,d", [(300, 4000, 64), (150, 9000, 128)])
+def test_att_spmm_forward_matches_reference(n, nnz, d):
+    import jax.numpy as jnp
+    from openea_tpu.ops.spmm_pallas import att_spmm
+    (row, col, val, meta, meta_t, val_c, val_t, s1, s2, x,
+     feats) = _att_setup(n, nnz, d)
+    out = att_spmm(meta, meta_t, val_c, val_t, s1, feats, d,
+                   interpret=True)
+    ref = _att_ref(jnp.asarray(row), jnp.asarray(col), jnp.asarray(val),
+                   s1, s2, x)
+    np.testing.assert_allclose(np.asarray(out[:, :d + 1]), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_att_spmm_grads_match_reference_autodiff():
+    import jax
+    import jax.numpy as jnp
+    from openea_tpu.ops.spmm_pallas import att_spmm
+    n, nnz, d = 200, 3000, 64
+    (row, col, val, meta, meta_t, val_c, val_t, s1, s2, x,
+     feats) = _att_setup(n, nnz, d, seed=3)
+    rowj, colj, valj = jnp.asarray(row), jnp.asarray(col), jnp.asarray(val)
+    g_out = jnp.asarray(
+        np.random.RandomState(9).randn(n, d + 1).astype(np.float32))
+
+    def loss_kernel(s1_, x_, s2_):
+        F = feats.shape[1]
+        f = jnp.zeros((n, F), jnp.float32)
+        f = f.at[:, :d].set(x_).at[:, d].set(1.0).at[:, d + 1].set(s2_)
+        out = att_spmm(meta, meta_t, val_c, val_t, s1_, f, d,
+                       interpret=True)
+        return jnp.sum(out[:, :d + 1] * g_out)
+
+    def loss_ref(s1_, x_, s2_):
+        return jnp.sum(_att_ref(rowj, colj, valj, s1_, s2_, x_) * g_out)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(s1, x, s2)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(s1, x, s2)
+    for a, b, name in zip(gk, gr, ("ds1", "dx", "ds2")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-5, err_msg=name)
+
+
+def test_att_spmm_blocked_matches_unblocked():
+    import jax
+    import jax.numpy as jnp
+    from openea_tpu.ops.spmm_pallas import att_spmm
+    n, nnz, d = 400, 9000, 64
+    S = 2
+    (row, col, val, meta, meta_t, val_c, val_t, s1, s2, x,
+     feats) = _att_setup(n, nnz, d, seed=5, pad_chunks_to=S)
+    out0 = att_spmm(meta, meta_t, val_c, val_t, s1, feats, d,
+                    interpret=True)
+    out1 = att_spmm(meta, meta_t, val_c, val_t, s1, feats, d,
+                    interpret=True, block_chunks=S)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=2e-5, atol=2e-5)
+
+    g_out = jnp.asarray(
+        np.random.RandomState(1).randn(n, feats.shape[1]).astype(np.float32))
+
+    def loss(blocked, s1_, f_):
+        out = att_spmm(meta, meta_t, val_c, val_t, s1_, f_, d,
+                       interpret=True, block_chunks=S if blocked else 0)
+        return jnp.sum(out * g_out)
+
+    g0 = jax.grad(lambda s1_, f_: loss(False, s1_, f_), (0, 1))(s1, feats)
+    g1 = jax.grad(lambda s1_, f_: loss(True, s1_, f_), (0, 1))(s1, feats)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g0[0]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g0[1]),
+                               rtol=2e-5, atol=2e-5)
