@@ -266,7 +266,7 @@ def _att_setup(n, nnz, d, seed=0, pad_chunks_to=1):
             jnp.asarray(feats))
 
 
-@pytest.mark.parametrize("n,nnz,d", [(300, 4000, 64), (150, 9000, 128)])
+@pytest.mark.parametrize("n,nnz,d", [(300, 3000, 64), (150, 5000, 128)])
 def test_att_spmm_forward_matches_reference(n, nnz, d):
     import jax.numpy as jnp
     from openea_tpu.ops.spmm_pallas import att_spmm
@@ -284,7 +284,7 @@ def test_att_spmm_grads_match_reference_autodiff():
     import jax
     import jax.numpy as jnp
     from openea_tpu.ops.spmm_pallas import att_spmm
-    n, nnz, d = 200, 3000, 64
+    n, nnz, d = 200, 1500, 32
     (row, col, val, meta, meta_t, val_c, val_t, s1, s2, x,
      feats) = _att_setup(n, nnz, d, seed=3)
     rowj, colj, valj = jnp.asarray(row), jnp.asarray(col), jnp.asarray(val)
@@ -313,7 +313,7 @@ def test_att_spmm_blocked_matches_unblocked():
     import jax
     import jax.numpy as jnp
     from openea_tpu.ops.spmm_pallas import att_spmm
-    n, nnz, d = 400, 9000, 64
+    n, nnz, d = 300, 4000, 32
     S = 2
     (row, col, val, meta, meta_t, val_c, val_t, s1, s2, x,
      feats) = _att_setup(n, nnz, d, seed=5, pad_chunks_to=S)
