@@ -300,21 +300,40 @@ class GMNN(BasicModel):
     # training / evaluation
     # ------------------------------------------------------------------ #
 
-    def _make_step(self):
+    def _step_core(self, params, opt_state, e1, e2, labels):
         opt = self.opt
 
-        def step(params, opt_state, e1, e2, labels):
-            def loss_fn(p):
-                logits = self._logits(p, e1, e2)
-                onehot = jax.nn.one_hot(labels, 2)
-                ce = optax.softmax_cross_entropy(logits, onehot)
-                return jnp.mean(ce)
+        def loss_fn(p):
+            logits = self._logits(p, e1, e2)
+            onehot = jax.nn.one_hot(labels, 2)
+            ce = optax.softmax_cross_entropy(logits, onehot)
+            return jnp.mean(ce)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
 
-        return jax.jit(step, donate_argnums=(0, 1))
+    def _make_step(self):
+        return jax.jit(self._step_core, donate_argnums=(0, 1))
+
+    def _make_epoch_fn(self):
+        """One jitted lax.scan over ALL of an epoch's batches.  At the
+        reference's batch_size=20 a 15K epoch is ~17,500 steps
+        (train links x cand_size examples); per-call dispatch made the
+        host loop the bottleneck (117 s/epoch round 2)."""
+
+        def epoch(params, opt_state, ex):
+            def body(carry, b):
+                p, o = carry
+                p, o, loss = self._step_core(p, o, b[:, 0], b[:, 1],
+                                             b[:, 2])
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), ex)
+            return params, opt_state, jnp.sum(losses)
+
+        return jax.jit(epoch, donate_argnums=(0, 1))
 
     def _match_probs(self, examples: np.ndarray, bsz: int) -> np.ndarray:
         if self._prob_c is None:
@@ -375,20 +394,17 @@ class GMNN(BasicModel):
         self._valid_ex = self.build_examples(self.kgs.valid_links, valid_c)
         self._test_ex = self.build_examples(self.kgs.test_links, test_c)
         if self._step_c is None:
-            self._step_c = self._make_step()
+            self._step_c = self._make_epoch_fn()
         bsz = int(a.batch_size)
+        n_steps = max(1, len(self._train_ex) // bsz)
         rng = np.random.RandomState(a.seed)
         for i in range(1, a.max_epoch + 1):
             start = time.time()
-            order = rng.permutation(len(self._train_ex))
-            losses = []
-            for s in range(0, len(order) - bsz + 1, bsz):
-                b = self._train_ex[order[s:s + bsz]]
-                self.params, self.opt_state, loss = self._step_c(
-                    self.params, self.opt_state, jnp.asarray(b[:, 0]),
-                    jnp.asarray(b[:, 1]), jnp.asarray(b[:, 2]))
-                losses.append(loss)   # sync once after the loop
-            loss_sum = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+            order = rng.permutation(len(self._train_ex))[:n_steps * bsz]
+            ex = self._train_ex[order].reshape(n_steps, bsz, 3)
+            self.params, self.opt_state, loss_sum = self._step_c(
+                self.params, self.opt_state, jnp.asarray(ex))
+            loss_sum = float(loss_sum)
             print("epoch {}, avg. matching loss: {:.4f}, cost time: {:.4f}s"
                   .format(i, loss_sum, time.time() - start))
             if i >= a.start_valid and i % a.eval_freq == 0:
