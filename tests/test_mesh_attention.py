@@ -131,6 +131,25 @@ def test_softmax_spmm_inside_jit_with_plan_arg():
     np.testing.assert_allclose(out, expect, atol=1e-5, rtol=1e-5)
 
 
+def test_sharded_row_topk_matches_host():
+    """BootEA's mesh bootstrapping primitive: row-sharded top-k of
+    e1 @ e2.T equals the host computation (values and indices)."""
+    from openea_tpu.parallel.eval_sharded import sharded_row_topk
+    rng = np.random.RandomState(5)
+    n1, n2, d, k = 37, 53, 8, 6       # n1 NOT divisible by 8: pad path
+    e1 = rng.randn(n1, d).astype(np.float32)
+    e2 = rng.randn(n2, d).astype(np.float32)
+    vals, idx = sharded_row_topk(_mesh(), jnp.asarray(e1), jnp.asarray(e2),
+                                 k, block=16)
+    S = e1 @ e2.T
+    ref_idx = np.argsort(-S, axis=1)[:, :k]
+    ref_vals = np.take_along_axis(S, ref_idx, axis=1)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, atol=1e-5)
+    # tie order may differ; compare as sets per row
+    for i in range(n1):
+        assert set(np.asarray(idx)[i]) == set(ref_idx[i]), i
+
+
 def test_sharded_segment_sum_matches_host():
     rng = np.random.RandomState(3)
     n, d, R = 45, 6, 9
