@@ -11,10 +11,13 @@
 //
 // Build:  g++ -O2 -shared -fPIC -std=c++17 openea_native.cpp -o libopenea_native.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -147,5 +150,99 @@ const int64_t* openea_ent_freq_ptr(void* h) {
   return static_cast<TripleFile*>(h)->ent_freq.data();
 }
 void openea_free(void* h) { delete static_cast<TripleFile*>(h); }
+
+// ---- 2-hop join emission + dedup (the AliNet mining hot loop) -------------
+//
+// The Python side (models/alinet.py generate_2hop_pairs) reduces the
+// reference's pandas self-merge (alinet.py:250-287) to: for each left row
+// i < nl emit the c[i] packed int64 join keys
+//     a_key[i] | b_key[base[i] + j*stride],   0 <= j < c[i]
+// then sort + dedup.  numpy needs ~10 full passes over the emitted array
+// (segment-id expansion, gathers, arithmetic, sort); here emission is one
+// fused pass and the sort runs on all cores.  Returns a malloc'd int64
+// buffer (released with openea_buf_free); *out_n is the unique count.
+int64_t* openea_mine2hop_unique(const int64_t* a_key, const int64_t* base,
+                                const int64_t* c, int64_t nl,
+                                const int64_t* b_key, int64_t stride,
+                                int64_t* out_n) {
+  int64_t total = 0;
+  for (int64_t i = 0; i < nl; ++i) total += c[i];
+  if (total <= 0) {
+    *out_n = 0;
+    return static_cast<int64_t*>(malloc(sizeof(int64_t)));
+  }
+  int nt = static_cast<int>(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  if (nt > 8) nt = 8;
+  if (total < static_cast<int64_t>(nt) * 65536) nt = 1;
+  // split rows into nt ranges of ~equal emitted size
+  std::vector<int64_t> row0(nt + 1), out0(nt + 1);
+  {
+    int64_t acc = 0;
+    int t = 0;
+    for (int64_t i = 0; i < nl && t + 1 < nt; ++i) {
+      acc += c[i];
+      if (acc >= (t + 1) * (total / nt)) {
+        ++t;
+        row0[t] = i + 1;
+        out0[t] = acc;
+      }
+    }
+    while (t < nt) {
+      ++t;
+      row0[t] = nl;
+      out0[t] = total;
+    }
+  }
+  auto* buf = static_cast<int64_t*>(
+      malloc(sizeof(int64_t) * static_cast<size_t>(total)));
+  auto* buf2 = static_cast<int64_t*>(
+      malloc(sizeof(int64_t) * static_cast<size_t>(total)));
+  if (!buf || !buf2) {
+    free(buf);
+    free(buf2);
+    *out_n = -1;
+    return nullptr;
+  }
+  {
+    std::vector<std::thread> th;
+    for (int t = 0; t < nt; ++t)
+      th.emplace_back([&, t]() {
+        int64_t p = out0[t];
+        for (int64_t i = row0[t]; i < row0[t + 1]; ++i) {
+          const int64_t a = a_key[i];
+          const int64_t* bp = b_key + base[i];
+          const int64_t ci = c[i];
+          for (int64_t j = 0; j < ci; ++j) buf[p++] = a | bp[j * stride];
+        }
+        std::sort(buf + out0[t], buf + out0[t + 1]);
+      });
+    for (auto& x : th) x.join();
+  }
+  // pairwise parallel merges of the sorted runs
+  std::vector<int64_t> bnd(out0.begin(), out0.end());
+  int runs = nt;
+  while (runs > 1) {
+    std::vector<std::thread> th;
+    std::vector<int64_t> nb{0};
+    for (int rp = 0; rp < runs; rp += 2) {
+      const int64_t lo = bnd[rp], mid = bnd[rp + 1],
+                    hi = (rp + 1 < runs) ? bnd[rp + 2] : mid;
+      th.emplace_back([buf, buf2, lo, mid, hi]() {
+        std::merge(buf + lo, buf + mid, buf + mid, buf + hi, buf2 + lo);
+      });
+      nb.push_back(hi);
+    }
+    for (auto& x : th) x.join();
+    std::swap(buf, buf2);
+    bnd = nb;
+    runs = static_cast<int>(bnd.size()) - 1;
+  }
+  *out_n = std::unique(buf, buf + total) - buf;
+  free(buf2);
+  return buf;
+}
+
+void openea_buf_free(void* p) { free(p); }
 
 }  // extern "C"

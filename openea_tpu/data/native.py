@@ -28,7 +28,8 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             _SRC, "-o", _SO],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
@@ -64,8 +65,45 @@ def get_lib():
         lib.openea_blob_ptr.restype = ctypes.POINTER(ctypes.c_char)
         lib.openea_blob_ptr.argtypes = [ctypes.c_void_p]
         lib.openea_free.argtypes = [ctypes.c_void_p]
+        try:
+            p64 = ctypes.POINTER(ctypes.c_int64)
+            lib.openea_mine2hop_unique.restype = p64
+            lib.openea_mine2hop_unique.argtypes = [
+                p64, p64, p64, ctypes.c_int64, p64, ctypes.c_int64, p64]
+            lib.openea_buf_free.argtypes = [ctypes.c_void_p]
+        except AttributeError:
+            pass                      # stale .so without the mining symbols
         _lib = lib
         return _lib
+
+
+def mine2hop_unique(a_key: np.ndarray, base: np.ndarray, c: np.ndarray,
+                    b_key: np.ndarray, stride: int) -> Optional[np.ndarray]:
+    """Sorted unique join keys a_key[i] | b_key[base[i] + j*stride]
+    (j < c[i]) — the AliNet 2-hop mining hot loop (models/alinet.py
+    generate_2hop_pairs) fused into one native emission pass + parallel
+    sort.  Returns None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "openea_mine2hop_unique"):
+        return None
+    a_key = np.ascontiguousarray(a_key, np.int64)
+    base = np.ascontiguousarray(base, np.int64)
+    c = np.ascontiguousarray(c, np.int64)
+    b_key = np.ascontiguousarray(b_key, np.int64)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    out_n = ctypes.c_int64(0)
+    ptr = lib.openea_mine2hop_unique(
+        a_key.ctypes.data_as(p64), base.ctypes.data_as(p64),
+        c.ctypes.data_as(p64), ctypes.c_int64(len(a_key)),
+        b_key.ctypes.data_as(p64), ctypes.c_int64(int(stride)),
+        ctypes.byref(out_n))
+    if not ptr or out_n.value < 0:
+        return None
+    try:
+        uq = np.ctypeslib.as_array(ptr, shape=(out_n.value,)).copy()
+    finally:
+        lib.openea_buf_free(ptr)
+    return uq
 
 
 class InternedTriples:

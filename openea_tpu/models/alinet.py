@@ -83,6 +83,10 @@ def remove_unlinked_triples(triples, linked_ents):
             if h in linked_ents and t in linked_ents]
 
 
+# joined rows emitted per chunk in generate_2hop_pairs (patchable in tests)
+_EMIT_CHUNK = 1 << 26
+
+
 def generate_2hop_pairs(triples, linked_ents=None,
                         max_pairs: int = 0, seed: int = 0):
     """(head, tail) 2-hop pairs whose relation pattern is NOT among the 5
@@ -99,11 +103,12 @@ def generate_2hop_pairs(triples, linked_ents=None,
     arr = np.asarray(list(triples), np.int64)
     # numpy equi-join on mid = t_left = h_right (the reference's pandas
     # self-merge materializes the same rows with ~4x the memory).  Every
-    # pass over the joined rows is memory-bandwidth-bound at 10^8 rows,
-    # so: pack (hx, ty, rx, ry) into one int64 with power-of-2 fields
-    # (decode = shift/mask, not divmod), repeat VALUES instead of indices
-    # (one gather saved), and use searchsorted for membership (np.isin
-    # re-sorts the 10^8-element side).
+    # pass over the joined rows is memory-bandwidth-bound at 10^7-10^9
+    # rows, so: pack (hx, ty, rx, ry) into one int64 with power-of-2
+    # fields (decode = shift/mask, not divmod); when a sampling cap is
+    # set, emit ONLY every stride-th joined row (the full join never
+    # materializes); expand segment ids by indicator+cumsum instead of
+    # np.repeat/searchsorted (both are seconds-per-pass at this scale).
     n = int(max(arr[:, 0].max(), arr[:, 2].max())) + 1
     r_max = int(arr[:, 1].max()) + 1
     eb = max(int(np.ceil(np.log2(n))), 1)       # entity field bits
@@ -119,34 +124,114 @@ def generate_2hop_pairs(triples, linked_ents=None,
     fan = stops - starts
     offsets = np.cumsum(fan) - fan
     total = int(fan.sum())
-    quad_key = np.repeat(a_key, fan)
-    ri = np.arange(total, dtype=np.int64)
-    ri += np.repeat(starts - offsets, fan)
-    quad_key |= b_key[ri]
-    del ri
-    if max_pairs and total > 4 * max_pairs:
-        # cap active and the raw join is far larger: stride-subsample
-        # the joined rows before the O(total log total) dedup passes
-        quad_key = np.ascontiguousarray(
-            quad_key[:: max(total // (4 * max_pairs), 1)])
 
-    uq = np.unique(quad_key)                # dedup (h, rx, ry, t)
-    pair_key = uq >> (2 * rb)               # hx<<eb | ty
+    def _emit(i0, i1, c, base, stride):
+        """Joined-row keys for left rows [i0, i1): row i contributes
+        c[i] keys a_key[i] | b_key[base[i] + j*stride], 0 <= j < c[i]."""
+        cc = c[i0:i1]
+        out_len = int(cc.sum())
+        if out_len == 0:
+            return np.empty(0, np.int64)
+        csum = np.cumsum(cc) - cc                 # local exclusive prefix
+        rows = np.nonzero(cc)[0]
+        d = np.zeros(out_len, np.int64)
+        idx = csum[rows]                          # strictly increasing
+        d[idx[0]] = rows[0]
+        if len(rows) > 1:
+            d[idx[1:]] = np.diff(rows)
+        li = np.cumsum(d)                         # local left-row index
+        j = np.arange(out_len, dtype=np.int64) - csum[li]
+        gi = i0 + li
+        return a_key[gi] | b_key[base[gi] + j * stride]
+
+    if max_pairs and total > 4 * max_pairs:
+        # cap active and the raw join is far larger: keep only every
+        # stride-th joined row (bit-identical to slicing the full join
+        # with quad_key[::step]); row i holds the join rows
+        # [offsets[i], offsets[i]+fan[i]), so its sampled multiples of
+        # step are k in [ceil(offsets[i]/step), ceil((offsets[i]+fan[i])/
+        # step)) at right-index starts[i] + k*step - offsets[i]
+        stride = max(total // (4 * max_pairs), 1)
+        k0 = -(-offsets // stride)
+        c = -(-(offsets + fan) // stride) - k0
+        base = starts - offsets + k0 * stride
+    else:
+        c, base, stride = fan, starts, 1
+    tot = int(c.sum())
+    uq = None
+    if tot >= (1 << 20):
+        # native fused emission + parallel sort (native/openea_native.cpp
+        # openea_mine2hop_unique): numpy needs ~10 full passes over the
+        # emitted array where C++ needs one; transparent numpy fallback
+        try:
+            from openea_tpu.data.native import mine2hop_unique
+            uq = mine2hop_unique(a_key, base, c, b_key, stride)
+        except Exception:
+            uq = None
+    chunk = _EMIT_CHUNK
+    if uq is not None:
+        pass
+    elif tot <= chunk:
+        uq = np.unique(_emit(0, len(c), c, base, stride))
+    else:
+        # chunk the emission by left-row ranges of ~2^26 output rows so
+        # peak memory stays bounded; per-chunk dedup shrinks the final sort
+        cum = np.cumsum(c)
+        splits = np.searchsorted(
+            cum, np.arange(chunk, tot, chunk, dtype=np.int64)) + 1
+        bounds = [0] + sorted(set(splits.tolist())) + [len(c)]
+        parts = [np.unique(_emit(b0, b1, c, base, stride))
+                 for b0, b1 in zip(bounds, bounds[1:]) if b1 > b0]
+        uq = (parts[0] if len(parts) == 1
+              else np.unique(np.concatenate(parts)))
+    pair_key = uq >> (2 * rb)               # hx<<eb | ty  (sorted)
     pat_key = uq & ((1 << (2 * rb)) - 1)    # rx<<rb | ry
     edge_keys = np.unique((arr[:, 0] << eb) | arr[:, 2])
-    pos = np.searchsorted(edge_keys, pair_key)
-    pos[pos == len(edge_keys)] = 0
-    keep = edge_keys[pos] != pair_key       # not already 1-hop
+    # 1-hop exclusion as a flipped membership join: probe the ~10^6 edge
+    # keys into the sorted pair_key (binary-searching every pair among
+    # the edges costs log2(T) probes x 10^7+ pairs)
+    lo = np.searchsorted(pair_key, edge_keys, side="left")
+    hi = np.searchsorted(pair_key, edge_keys, side="right")
+    d = np.zeros(len(pair_key) + 1, np.int64)
+    np.add.at(d, lo, 1)
+    np.add.at(d, hi, -1)
+    keep = np.cumsum(d[:-1]) == 0           # not already 1-hop
     pair_key, pat_key = pair_key[keep], pat_key[keep]
 
-    pats, counts = np.unique(pat_key, return_counts=True)
+    if 2 * rb <= 24:
+        # pattern histogram by direct indexing (pat space <= 2^24 bins);
+        # np.unique's sort costs ~2 s per 4*10^7 rows
+        counts_full = np.bincount(pat_key, minlength=1 << (2 * rb))
+        pats = np.nonzero(counts_full)[0]
+        counts = counts_full[pats]
+    else:
+        pats, counts = np.unique(pat_key, return_counts=True)
     top5 = np.sort(pats[np.argsort(-counts, kind="stable")[:5]])
     if len(top5):
         pos = np.searchsorted(top5, pat_key)
         pos[pos == len(top5)] = 0
         pair_key = pair_key[top5[pos] != pat_key]
-    hx = pair_key >> eb
-    keys = np.unique(np.concatenate([pair_key, (hx << eb) | hx]))
+
+    def _dedup_sorted(x):
+        if len(x) == 0:
+            return x
+        first = np.empty(len(x), bool)
+        first[0] = True
+        np.not_equal(x[1:], x[:-1], out=first[1:])
+        return x[first]
+
+    # pair_key stayed sorted through the mask filters: dedup it and the
+    # self-loop keys with one linear pass each, then merge the (tiny)
+    # novel self-loop set instead of re-sorting the 10^7-row concat
+    pu = _dedup_sorted(pair_key)
+    hu = _dedup_sorted(pu >> eb)
+    sk = (hu << eb) | hu
+    pos = np.searchsorted(pu, sk)
+    if len(pu):
+        new = (pos >= len(pu)) | (pu[np.minimum(pos, len(pu) - 1)] != sk)
+    else:
+        new = np.ones(len(sk), bool)
+    keys = np.insert(pu, pos[new], sk[new])
     if max_pairs and len(keys) > max_pairs:
         # graphs whose relation patterns are near-uniform defeat the
         # reference's top-5-pattern pruning (real KGs concentrate there);
@@ -157,9 +242,15 @@ def generate_2hop_pairs(triples, linked_ents=None,
 
 
 def rel_ht_table(triples, cap: int = 1024, seed: int = 0):
-    """Padded per-relation (h, t) table [R, cap, 2] + window lengths [R]."""
+    """Padded per-relation (h, t) table [R, cap, 2] + window lengths [R].
+
+    Canonically sorted first: `triples` usually arrives via Python set
+    iteration whose order varies per process (str hash randomization
+    upstream), and the order feeds the subsample below — unsorted input
+    made the table (a traced constant of the train step) differ between
+    runs, defeating the persistent compile cache."""
     rel_ht: Dict[int, List[Tuple[int, int]]] = {}
-    for h, r, t in triples:
+    for h, r, t in sorted(triples):
         rel_ht.setdefault(r, []).append((h, t))
     rels = sorted(rel_ht)
     rng = np.random.RandomState(seed)

@@ -54,6 +54,55 @@ def test_generate_2hop_pairs_excludes_direct_edges():
         assert (h, t) not in {(tr[0], tr[2]) for tr in triples} or h == t
 
 
+def test_generate_2hop_pairs_paths_agree():
+    """native emission, single-shot numpy, and chunked numpy are
+    bit-identical (incl. the strided sampling path)."""
+    from openea_tpu.data import native as nat
+    from openea_tpu.models import alinet
+    rng = np.random.RandomState(11)
+    n, T, R = 900, 12000, 25
+    tri = set(zip(rng.randint(0, n, T).tolist(),
+                  rng.randint(0, R, T).tolist(),
+                  rng.randint(0, n, T).tolist()))
+    orig_native, orig_chunk = nat.mine2hop_unique, alinet._EMIT_CHUNK
+    try:
+        outs = {}
+        for mp_ in (0, 3000):
+            ref = alinet.generate_2hop_pairs(tri, None, mp_, seed=5)
+            nat.mine2hop_unique = lambda *a, **k: None   # numpy single-shot
+            alinet._EMIT_CHUNK = 1 << 30
+            a = alinet.generate_2hop_pairs(tri, None, mp_, seed=5)
+            alinet._EMIT_CHUNK = 1 << 10                 # numpy chunked
+            b = alinet.generate_2hop_pairs(tri, None, mp_, seed=5)
+            nat.mine2hop_unique = orig_native
+            alinet._EMIT_CHUNK = orig_chunk
+            assert a.shape == ref.shape and (a == ref).all()
+            assert b.shape == ref.shape and (b == ref).all()
+            outs[mp_] = ref
+        assert len(outs[3000]) == 3000 < len(outs[0])
+    finally:
+        nat.mine2hop_unique = orig_native
+        alinet._EMIT_CHUNK = orig_chunk
+
+
+def test_mine2hop_native_direct():
+    """Direct check of the C ABI against a hand-computed emission."""
+    from openea_tpu.data.native import mine2hop_unique
+    a_key = np.array([1 << 8, 2 << 8, 3 << 8], np.int64)
+    base = np.array([0, 2, 0], np.int64)
+    c = np.array([2, 3, 0], np.int64)
+    b_key = np.array([7, 7, 5, 6, 9], np.int64)
+    out = mine2hop_unique(a_key, base, c, b_key, 1)
+    if out is None:                       # no toolchain: binding degrades
+        pytest.skip("native library unavailable")
+    # row0: 256|7, 256|7 ; row1: 512|5, 512|6, 512|9 ; row2: nothing
+    assert out.tolist() == [256 | 7, 512 | 5, 512 | 6, 512 | 9]
+    # strided variant reads every 2nd b_key entry
+    out2 = mine2hop_unique(np.array([0], np.int64), np.array([0], np.int64),
+                           np.array([3], np.int64), b_key, 2)
+    assert out2.tolist() == [5, 7, 9]
+
+
 @pytest.mark.slow
 def test_alinet_e2e_learns():
     model, kgs = run_model(
