@@ -159,10 +159,13 @@ def generate_2hop_pairs(triples, linked_ents=None,
         c, base, stride = fan, starts, 1
     tot = int(c.sum())
     uq = None
-    if tot >= (1 << 20):
+    if (1 << 20) <= tot <= (1 << 28):
         # native fused emission + parallel sort (native/openea_native.cpp
         # openea_mine2hop_unique): numpy needs ~10 full passes over the
-        # emitted array where C++ needs one; transparent numpy fallback
+        # emitted array where C++ needs one; transparent numpy fallback.
+        # Above 2^28 joined rows the native path's two full-size buffers
+        # (2 x 8 B/row > 4 GB) lose to the chunk-bounded numpy path, so
+        # uncapped joins on huge graphs stay chunked
         try:
             from openea_tpu.data.native import mine2hop_unique
             uq = mine2hop_unique(a_key, base, c, b_key, stride)

@@ -941,10 +941,13 @@ class BasicModel:
                              and not self.args.get("checkpoint_freq")
                              and self.args.max_epoch >= epc * self._MULTIWIN)
             if multiwin_mode:
-                # the run loop routes ALL epochs (pre-valid ones eval-
-                # masked) through this one executable; compiling the
-                # super/superv forms too would triple axon compile time
-                # for programs the run never dispatches
+                # the run loop routes epochs (pre-valid ones eval-masked)
+                # through this one executable; the super/superv forms are
+                # only needed for the tail when max_epoch is not a
+                # multiple of epc * _MULTIWIN (the run loop falls back to
+                # them for the last < _MULTIWIN windows) — compiling them
+                # unconditionally would triple axon compile time for
+                # programs most presets never dispatch
                 keym = ("multiwin", epc, self._MULTIWIN, use_tables)
                 if keym not in self._epoch_fn_cache:
                     self._epoch_fn_cache[keym] = self._make_multiwin_fn(
@@ -954,8 +957,11 @@ class BasicModel:
                     jnp.float32(-1), jnp.float32(-1), jnp.int32(0),
                     self._t1, self._w1, self._t2, self._w2,
                     self._neigh1, self._neigh2).compile()
-                print("precompile done in {:.1f} s".format(time.time() - t))
-                return
+                if self.args.max_epoch % (epc * self._MULTIWIN) == 0:
+                    print("precompile done in {:.1f} s".format(
+                        time.time() - t))
+                    return
+                # else fall through and compile the tail executables too
             key = ("super", epc, use_tables)
             if key not in self._epoch_fn_cache:
                 self._epoch_fn_cache[key] = self._make_super_epoch_fn(

@@ -400,7 +400,11 @@ class GMNN(BasicModel):
         rng = np.random.RandomState(a.seed)
         for i in range(1, a.max_epoch + 1):
             start = time.time()
-            order = rng.permutation(len(self._train_ex))[:n_steps * bsz]
+            # np.resize wraps cyclically when the example count is below
+            # one batch (tiny smoke datasets), and truncates — identical
+            # to [:n_steps*bsz] — otherwise
+            order = np.resize(rng.permutation(len(self._train_ex)),
+                              n_steps * bsz)
             ex = self._train_ex[order].reshape(n_steps, bsz, 3)
             self.params, self.opt_state, loss_sum = self._step_c(
                 self.params, self.opt_state, jnp.asarray(ex))

@@ -41,7 +41,11 @@ class LSHBlocker:
             rng.randn(input_dim, num_hashtables * hash_size).astype(np.float32))
         self._tables: List[Dict[int, List[int]]] = [
             {} for _ in range(num_hashtables)]
-        self._vecs: Dict[int, np.ndarray] = {}
+        # indexed embeddings stay as the per-index() [N, d] blocks with a
+        # per-entity (block, row) locator — a per-row dict of copies
+        # doubled host memory for callers that never rank queries
+        self._vec_blocks: List[np.ndarray] = []
+        self._vec_loc: Dict[int, Tuple[int, int]] = {}
         self._extras: Dict[int, Any] = {}
 
     def _codes(self, x) -> np.ndarray:
@@ -57,9 +61,10 @@ class LSHBlocker:
         payloads returned by ranked queries (the reference's extra_data,
         lshash.py:101-110)."""
         codes = self._codes(embeds)
-        vecs = np.asarray(embeds)
+        bi = len(self._vec_blocks)
+        self._vec_blocks.append(np.asarray(embeds))
         for row, ent in enumerate(ids):
-            self._vecs[int(ent)] = vecs[row]
+            self._vec_loc[int(ent)] = (bi, row)
             if extras is not None:
                 self._extras[int(ent)] = extras[row]
             for t in range(self.num_hashtables):
@@ -95,7 +100,8 @@ class LSHBlocker:
                 out.append([])
                 continue
             ids = np.asarray(sorted(cands))
-            cvecs = np.stack([self._vecs[int(i)] for i in ids])
+            cvecs = np.stack([self._vec_blocks[b][r] for b, r in
+                              (self._vec_loc[int(i)] for i in ids)])
             dist = np.asarray(d_func(queries[row], cvecs))
             order = np.argsort(dist, kind="stable")[:num_results]
             out.append([(int(ids[j]), float(dist[j]),

@@ -223,6 +223,11 @@ def inner_rank_both(embed1: jax.Array, embed2: jax.Array,
     n1, d0 = embed1.shape
     n2 = embed2.shape[0]
     d = -(-d0 // 128) * 128          # lane-align features (zeros: dot safe)
+    # bf16 inputs (compute_dtype='bfloat16' eval opt-in) stay bf16 into
+    # the MXU dot; everything downstream of the dot is f32 regardless
+    pack_dt = (jnp.bfloat16 if (embed1.dtype == jnp.bfloat16
+                                and embed2.dtype == jnp.bfloat16)
+               else jnp.float32)
     if not tm:
         # e1/e2 tiles are double-buffered in VMEM (~16 MB/core): size
         # (tm + tn) so 2 * (tm + 2*tm) * d * 4 stays under ~12 MB —
@@ -232,14 +237,18 @@ def inner_rank_both(embed1: jax.Array, embed2: jax.Array,
         tn = 2 * tm
     m = -(-n1 // tm) * tm
     n = -(-n2 // tn) * tn
-    e1 = jnp.zeros((m, d), jnp.float32).at[:n1, :d0].set(embed1)
-    e2 = jnp.zeros((n, d), jnp.float32).at[:n2, :d0].set(embed2)
+    e1 = jnp.zeros((m, d), pack_dt).at[:n1, :d0].set(embed1)
+    e2 = jnp.zeros((n, d), pack_dt).at[:n2, :d0].set(embed2)
 
     gold = gold_cols.astype(jnp.int32)
     # gold sim via the SAME contraction the tiles use (dot_general row-
     # wise), so the exclude-gold-column + strict-> semantics are the only
-    # tie surface (see module docstring)
-    gv = jnp.sum(embed1 * embed2[gold], axis=1, dtype=jnp.float32)
+    # tie surface (see module docstring).  Under bf16 packing the gold
+    # value is f32-exact while tile sims carry bf16 rounding — rank
+    # flips stay within bf16 epsilon (same caveat as the XLA bf16 path)
+    gv = jnp.sum(embed1.astype(jnp.float32)
+                 * embed2[gold].astype(jnp.float32),
+                 axis=1, dtype=jnp.float32)
     sq1p = jnp.zeros((m, 1), jnp.float32)
     sq2p = jnp.zeros((1, n), jnp.float32)
     if metric == "euclidean":

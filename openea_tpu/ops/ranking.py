@@ -46,17 +46,24 @@ def rank_and_argmax(embed1: jax.Array, embed2: jax.Array,
             and jax.devices()[0].platform == "tpu"):
         # fused MXU matmul + rank counting: each sim tile feeds the
         # counters in VMEM instead of round-tripping a [block, n2] slab
-        # through HBM (ops/pallas_kernels.inner_rank_both)
+        # through HBM (ops/pallas_kernels.inner_rank_both).  bf16 inputs
+        # (compute_dtype='bfloat16' opt-in) keep bf16 tiles + default-
+        # precision dots for the 2x MXU rate.
         from openea_tpu.ops.pallas_kernels import inner_rank_both
         gold = gold_cols.astype(jnp.int32)
+        prec = ("default" if embed1.dtype == jnp.bfloat16 else "highest")
         if csls_k > 0:
             # csls_k > 0 in rank_and_argmax means: rank under CSLS only
             r2k = blocked_row_topk_means(embed2, embed1, csls_k, block,
                                          metric, False)
             _, _, rk2, best2 = inner_rank_both(embed1, embed2, gold,
                                                r2=r2k, r2_gold=r2k[gold],
-                                               metric=metric)
+                                               metric=metric,
+                                               precision=prec)
             return rk2, best2
+        rk, best, _, _ = inner_rank_both(embed1, embed2, gold, csls=False,
+                                         metric=metric, precision=prec)
+        return rk, best
 
     if (metric in ("manhattan", "cityblock") and csls_k > 0
             and jax.devices()[0].platform == "tpu"):
@@ -67,9 +74,6 @@ def rank_and_argmax(embed1: jax.Array, embed2: jax.Array,
         _, _, rk2, best2 = manhattan_rank_both(embed1, embed2, gold,
                                                r2=r2k, r2_gold=r2k[gold])
         return rk2, best2
-        rk, best, _, _ = inner_rank_both(embed1, embed2, gold, csls=False,
-                                         metric=metric)
-        return rk, best
 
     r1 = r2 = None
     if csls_k > 0:

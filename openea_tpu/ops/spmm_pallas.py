@@ -855,7 +855,14 @@ def att_spmm(meta: ChunkMeta, meta_t: ChunkMeta, val_c, val_t, s1, feats,
     returns [n, F] whose first d_agg columns are the weighted sums and
     column d_agg the denominator.  val_c / val_t: static chunk-layout
     edge weights (chunk_vals(meta, val) / chunk_vals(meta_t, val)).
-    Differentiable in s1 and feats."""
+
+    Differentiable in s1 and feats, with one CONTRACT RESTRICTION: the
+    loss must only read output columns 0..d_agg (sums + denominator).
+    Column d_agg+1 of the output (the spurious s2-aggregate) is a
+    byproduct the backward repurposes as the s1 carrier through the g
+    gather, so its incoming cotangent is discarded — a loss that reads
+    it gets silently wrong dfeats.  Columns past d_agg+1 are zero-pad.
+    The in-tree caller (AliNet attention) only reads [:, :d_agg+1]."""
     return _att_forward(meta, val_c, s1, feats, d_agg, interpret,
                         block_chunks, precision)
 

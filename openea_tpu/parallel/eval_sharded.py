@@ -25,7 +25,7 @@ Row blocks bound peak memory to [block, n2] per shard, so 100K-scale
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -46,22 +46,11 @@ def eval_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devs), ("x",))
 
 
-def sharded_row_topk(mesh: Mesh, e1: jax.Array, e2: jax.Array, k: int,
-                     block: int = 2048) -> Tuple[jax.Array, jax.Array]:
-    """Row top-k of e1 @ e2.T with the query rows sharded over the 1-D
-    eval mesh and e2 replicated — the multi-chip form of
-    ops/bootstrapping._blocked_topk / ops/neighbors.top_k_neighbors
-    (reference's ray-actor eval pool, bootea.py:214-228 + batch.py:122-165).
-    Embarrassingly row-parallel: no collectives at all; each shard block-
-    loops its rows against the resident candidate table."""
-    k = min(k, e2.shape[0])
-    n1 = e1.shape[0]
-    S = mesh.size
-    per = -(-n1 // S)
-    pad = per * S - n1
-    if pad:
-        e1 = jnp.concatenate([e1, jnp.zeros((pad, e1.shape[1]), e1.dtype)])
-    approx = k > 64 and jax.devices()[0].platform == "tpu"
+@lru_cache(maxsize=32)
+def _row_topk_fn(mesh: Mesh, k: int, block: int, approx: bool):
+    """Jitted shard_map for sharded_row_topk, cached per (mesh, k, block,
+    approx) so repeated bootstrapping rounds / neighbor regenerations hit
+    jax's trace cache instead of retracing a fresh closure every call."""
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P("x", None), P(None, None)),
@@ -83,7 +72,26 @@ def sharded_row_topk(mesh: Mesh, e1: jax.Array, e2: jax.Array, k: int,
         return (vals.reshape(-1, k)[:rows.shape[0]],
                 idx.reshape(-1, k)[:rows.shape[0]])
 
-    vals, idx = jax.jit(run)(e1, e2)
+    return jax.jit(run)
+
+
+def sharded_row_topk(mesh: Mesh, e1: jax.Array, e2: jax.Array, k: int,
+                     block: int = 2048) -> Tuple[jax.Array, jax.Array]:
+    """Row top-k of e1 @ e2.T with the query rows sharded over the 1-D
+    eval mesh and e2 replicated — the multi-chip form of
+    ops/bootstrapping._blocked_topk / ops/neighbors.top_k_neighbors
+    (reference's ray-actor eval pool, bootea.py:214-228 + batch.py:122-165).
+    Embarrassingly row-parallel: no collectives at all; each shard block-
+    loops its rows against the resident candidate table."""
+    k = min(k, e2.shape[0])
+    n1 = e1.shape[0]
+    S = mesh.size
+    per = -(-n1 // S)
+    pad = per * S - n1
+    if pad:
+        e1 = jnp.concatenate([e1, jnp.zeros((pad, e1.shape[1]), e1.dtype)])
+    approx = k > 64 and jax.devices()[0].platform == "tpu"
+    vals, idx = _row_topk_fn(mesh, int(k), int(block), approx)(e1, e2)
     return vals[:n1], idx[:n1]
 
 
