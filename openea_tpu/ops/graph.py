@@ -191,8 +191,8 @@ def sym_normalize_with_self_loops(row: np.ndarray, col: np.ndarray,
     row = np.concatenate([row, np.arange(n, dtype=np.int32)])
     col = np.concatenate([col, np.arange(n, dtype=np.int32)])
     val = np.concatenate([val, np.ones(n, np.float32)])
-    deg = np.zeros(n, np.float64)
-    np.add.at(deg, row, val)
+    # np.add.at runs ~10 M edges/s; bincount-with-weights is a plain pass
+    deg = np.bincount(row, weights=val.astype(np.float64), minlength=n)
     with np.errstate(divide="ignore"):
         dinv = np.power(deg, -0.5)
     dinv[np.isinf(dinv)] = 0.0

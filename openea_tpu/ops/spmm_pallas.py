@@ -297,22 +297,19 @@ def build_chunk_meta(row: np.ndarray, col: np.ndarray, n_rows: int,
     # window sequence nondecreasing for blocked relative indexing)
     window_p = np.full(nc_pad, n_windows - 1, np.int32)
     first_p = np.zeros(nc_pad, np.int32)
-    slot_sorted = np.zeros(nnz, np.int64)
 
-    ci = 0
-    for w in range(n_windows):
-        pos, cnt = int(wstarts[w]), int(wcounts[w])
-        for j in range(int(chunks_per[w])):
-            lo = pos + j * EC
-            hi = min(pos + (j + 1) * EC, pos + cnt)
-            k = hi - lo
-            dst = ci * EC
-            col_p[dst:dst + k] = col_s[lo:hi]
-            rowloc_p[dst:dst + k] = row_s[lo:hi] - w * TM
-            slot_sorted[lo:hi] = np.arange(dst, dst + k)
-            window_p[ci] = w
-            first_p[ci] = 1 if j == 0 else 0
-            ci += 1
+    # vectorized chunk routing (the per-chunk python loop cost ~40 s at
+    # 4*10^7-edge 2-hop adjacencies): sorted edge k of window w sits at
+    # within-window position p, i.e. chunk cumch[w] + p//EC, slot p%EC
+    cumch = np.concatenate([[0], np.cumsum(chunks_per)])
+    p = np.arange(nnz, dtype=np.int64) - wstarts[win]
+    slot_sorted = (cumch[win] + p // EC) * EC + p % EC
+    col_p[slot_sorted] = col_s
+    rowloc_p[slot_sorted] = (row_s - win * TM).astype(np.int32)
+    if nc:
+        window_p[:nc] = np.repeat(np.arange(n_windows, dtype=np.int32),
+                                  chunks_per)
+        first_p[cumch[:-1]] = 1          # first chunk of every window
 
     slots = np.zeros(nnz, np.int64)
     slots[order] = slot_sorted

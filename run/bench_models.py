@@ -118,6 +118,26 @@ def main(case):
               "probe, train %.1f s incl compile; full test %.1f s).  "
               "Reference full converged run: 5507.9 s."
               % (train_s / 6, train_s, time.time() - t1))
+    elif case == "alinet_100k":
+        # epoch-cost probe with the published 100K preset (+20M 2-hop
+        # cap) — NOT comparable to a converged reference run, so no
+        # speedup factor; prints init (mining-dominated) and steady
+        # per-epoch cost through the fused attention kernel
+        vals = get_preset_dict("alinet", "100K")
+        vals.update(is_save=False, seed=1, max_epoch=4, start_valid=1000,
+                    eval_freq=1000, two_hop_max_pairs=20_000_000)
+        m = get_model("AliNet")()
+        m.set_args(Args(vals))
+        m.set_kgs(pair_100k("mapping"))
+        t0 = time.time()
+        m.init()
+        init_s = time.time() - t0
+        t0 = time.time()
+        m.run()
+        train_s = time.time() - t0
+        print("RESULT AliNet 100K: init %.1f s (2-hop mining + adj), "
+              "%.2f s/epoch steady-state (4-epoch probe incl compile "
+              "%.1f s)" % (init_s, train_s / 4, train_s))
     elif case == "gmnn_rerank":
         # test-time rerank timing at a 15K-shaped candidate set with the
         # REFERENCE's dev_batch_size=20 (gmnn.py:2419-2520): the batched
