@@ -210,9 +210,10 @@ int64_t* openea_mine2hop_unique(const int64_t* a_key, const int64_t* base,
       th.emplace_back([&, t]() {
         int64_t p = out0[t];
         for (int64_t i = row0[t]; i < row0[t + 1]; ++i) {
+          const int64_t ci = c[i];
+          if (ci == 0) continue;  // base[i] may be out of range when empty
           const int64_t a = a_key[i];
           const int64_t* bp = b_key + base[i];
-          const int64_t ci = c[i];
           for (int64_t j = 0; j < ci; ++j) buf[p++] = a | bp[j * stride];
         }
         std::sort(buf + out0[t], buf + out0[t + 1]);

@@ -85,6 +85,10 @@ def remove_unlinked_triples(triples, linked_ents):
 
 # joined rows emitted per chunk in generate_2hop_pairs (patchable in tests)
 _EMIT_CHUNK = 1 << 26
+# joined-row count bounds for the native C++ mine2hop path (patchable in
+# tests so the native branch is exercised end-to-end on small joins)
+_NATIVE_MIN = 1 << 20
+_NATIVE_MAX = 1 << 28
 
 
 def generate_2hop_pairs(triples, linked_ents=None,
@@ -159,7 +163,7 @@ def generate_2hop_pairs(triples, linked_ents=None,
         c, base, stride = fan, starts, 1
     tot = int(c.sum())
     uq = None
-    if (1 << 20) <= tot <= (1 << 28):
+    if _NATIVE_MIN <= tot <= _NATIVE_MAX:
         # native fused emission + parallel sort (native/openea_native.cpp
         # openea_mine2hop_unique): numpy needs ~10 full passes over the
         # emitted array where C++ needs one; transparent numpy fallback.

@@ -51,7 +51,8 @@ def rank_and_argmax(embed1: jax.Array, embed2: jax.Array,
         # precision dots for the 2x MXU rate.
         from openea_tpu.ops.pallas_kernels import inner_rank_both
         gold = gold_cols.astype(jnp.int32)
-        prec = ("default" if embed1.dtype == jnp.bfloat16 else "highest")
+        prec = ("default" if (embed1.dtype == jnp.bfloat16
+                              and embed2.dtype == jnp.bfloat16) else "highest")
         if csls_k > 0:
             # csls_k > 0 in rank_and_argmax means: rank under CSLS only
             r2k = blocked_row_topk_means(embed2, embed1, csls_k, block,

@@ -65,10 +65,18 @@ def test_generate_2hop_pairs_paths_agree():
                   rng.randint(0, R, T).tolist(),
                   rng.randint(0, n, T).tolist()))
     orig_native, orig_chunk = nat.mine2hop_unique, alinet._EMIT_CHUNK
+    orig_min = alinet._NATIVE_MIN
+    native_available = nat.mine2hop_unique(
+        np.array([0], np.int64), np.array([0], np.int64),
+        np.array([1], np.int64), np.array([1], np.int64), 1) is not None
     try:
         outs = {}
         for mp_ in (0, 3000):
+            # native emission runs INSIDE generate_2hop_pairs (incl. the
+            # strided max_pairs case): drop the size gate below this join
+            alinet._NATIVE_MIN = 1
             ref = alinet.generate_2hop_pairs(tri, None, mp_, seed=5)
+            alinet._NATIVE_MIN = orig_min
             nat.mine2hop_unique = lambda *a, **k: None   # numpy single-shot
             alinet._EMIT_CHUNK = 1 << 30
             a = alinet.generate_2hop_pairs(tri, None, mp_, seed=5)
@@ -80,9 +88,12 @@ def test_generate_2hop_pairs_paths_agree():
             assert b.shape == ref.shape and (b == ref).all()
             outs[mp_] = ref
         assert len(outs[3000]) == 3000 < len(outs[0])
+        if not native_available:
+            pytest.skip("native library unavailable: numpy paths only")
     finally:
         nat.mine2hop_unique = orig_native
         alinet._EMIT_CHUNK = orig_chunk
+        alinet._NATIVE_MIN = orig_min
 
 
 def test_mine2hop_native_direct():
