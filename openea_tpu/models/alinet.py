@@ -343,11 +343,16 @@ class AliNet(BasicModel):
         # arrays are tens of MB each.
         self._att_metas = None
         self._att_block = 0
-        if (jax.default_backend() != "cpu"
-                and adj2_h.row.shape[0] >= 65536):
+        from openea_tpu.ops import dispatch
+        self._att_interpret = dispatch.interpret_mode()
+        if (dispatch.use_fused()
+                and (adj2_h.row.shape[0] >= 65536
+                     or self._att_interpret)):
             from openea_tpu.ops.spmm_pallas import (EC, chunk_vals,
                                                     metas_from_coo)
-            S = max(1, (1 << 18) // EC)
+            # interpret mode (force_fused tests on CPU): tiny mega-chunks
+            # so the emulated grid stays a few chunks per pass
+            S = 2 if self._att_interpret else max(1, (1 << 18) // EC)
             meta, meta_t = metas_from_coo(np.asarray(adj2_h.row),
                                           np.asarray(adj2_h.col), n,
                                           pad_chunks_to=S)
@@ -521,7 +526,7 @@ class AliNet(BasicModel):
             feats = feats.at[:, d_out].set(1.0)
             feats = feats.at[:, d_out + 1].set(s2)
             agg = att_spmm(meta, meta_t, val_c, val_t, s1, feats, d_out,
-                           False, self._att_block,
+                           self._att_interpret, self._att_block,
                            str(self.args.get("att_precision", "highest")))
             out = (agg[:, :d_out]
                    / jnp.maximum(agg[:, d_out:d_out + 1], 1e-30))

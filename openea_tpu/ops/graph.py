@@ -109,16 +109,18 @@ def spmm_fn(adj: SparseAdj, use_pallas=None, min_nnz: int = 65536,
     rectangular matrices (e.g. attribute incidence [n_ents, n_attrs]) so
     the backward transpose plan has the right output height.
     """
+    from openea_tpu.ops import dispatch
     nnz = int(np.asarray(adj.row).shape[0])
     if use_pallas is None:
-        use_pallas = jax.default_backend() != "cpu" and nnz >= min_nnz
+        use_pallas = dispatch.use_fused() and nnz >= min_nnz
     if not use_pallas:
         return lambda x: spmm(adj, x)
     from openea_tpu.ops.spmm_pallas import make_csr_spmm, plans_from_coo
     plan, plan_t = plans_from_coo(np.asarray(adj.row), np.asarray(adj.col),
                                   np.asarray(adj.val), adj.n_rows,
                                   n_cols=n_cols)
-    return make_csr_spmm(plan, plan_t, precision=precision)
+    return make_csr_spmm(plan, plan_t, interpret=dispatch.interpret_mode(),
+                         precision=precision)
 
 
 def build_sparse(row: np.ndarray, col: np.ndarray, val: np.ndarray,

@@ -16,18 +16,33 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from openea_tpu.ops import dispatch
 from openea_tpu.ops.initializers import l2_normalize
 from openea_tpu.ops.similarity import _pairwise, blocked_row_topk_means
 
 
-@partial(jax.jit, static_argnames=("metric", "normalize", "csls_k", "block"))
 def rank_and_argmax(embed1: jax.Array, embed2: jax.Array,
                     gold_cols: jax.Array, metric: str = "inner",
                     normalize: bool = False, csls_k: int = 0,
                     block: int = 4096) -> Tuple[jax.Array, jax.Array]:
     """For each row i of sim(embed1, embed2): the 0-based rank of column
     ``gold_cols[i]`` and the argmax column.  Returns (rank_index[n1] i32,
-    argmax[n1] i32)."""
+    argmax[n1] i32).
+
+    Backend dispatch (fused Pallas vs XLA) is resolved HERE, outside
+    jit, and threaded in as static args — so ops.dispatch.force_fused()
+    exercises every fused branch in interpret mode on CPU without a
+    stale jit-cache hiding the switch."""
+    return _rank_and_argmax(embed1, embed2, gold_cols, metric=metric,
+                            normalize=normalize, csls_k=csls_k, block=block,
+                            fused=dispatch.use_fused(),
+                            interpret=dispatch.interpret_mode())
+
+
+@partial(jax.jit, static_argnames=("metric", "normalize", "csls_k", "block",
+                                   "fused", "interpret"))
+def _rank_and_argmax(embed1, embed2, gold_cols, metric, normalize,
+                     csls_k, block, fused, interpret):
     embed1 = jnp.asarray(embed1)
     embed2 = jnp.asarray(embed2)
     if normalize:
@@ -35,15 +50,14 @@ def rank_and_argmax(embed1: jax.Array, embed2: jax.Array,
         embed2 = l2_normalize(embed2)
         metric = "inner" if metric == "cosine" else metric
 
-    if (metric in ("manhattan", "cityblock") and csls_k == 0
-            and jax.devices()[0].platform == "tpu"):
+    if metric in ("manhattan", "cityblock") and csls_k == 0 and fused:
         # fused Pallas distance+rank kernel: the full [n1, n2] cityblock
         # matrix never materializes (ops/pallas_kernels.py)
         from openea_tpu.ops.pallas_kernels import manhattan_rank
-        return manhattan_rank(embed1, embed2, gold_cols.astype(jnp.int32))
+        return manhattan_rank(embed1, embed2, gold_cols.astype(jnp.int32),
+                              interpret=interpret)
 
-    if (metric in ("inner", "euclidean")
-            and jax.devices()[0].platform == "tpu"):
+    if metric in ("inner", "euclidean") and fused:
         # fused MXU matmul + rank counting: each sim tile feeds the
         # counters in VMEM instead of round-tripping a [block, n2] slab
         # through HBM (ops/pallas_kernels.inner_rank_both).  bf16 inputs
@@ -56,24 +70,28 @@ def rank_and_argmax(embed1: jax.Array, embed2: jax.Array,
         if csls_k > 0:
             # csls_k > 0 in rank_and_argmax means: rank under CSLS only
             r2k = blocked_row_topk_means(embed2, embed1, csls_k, block,
-                                         metric, False)
+                                         metric, False, fused=fused,
+                                         interpret=interpret)
             _, _, rk2, best2 = inner_rank_both(embed1, embed2, gold,
                                                r2=r2k, r2_gold=r2k[gold],
                                                metric=metric,
-                                               precision=prec)
+                                               precision=prec,
+                                               interpret=interpret)
             return rk2, best2
         rk, best, _, _ = inner_rank_both(embed1, embed2, gold, csls=False,
-                                         metric=metric, precision=prec)
+                                         metric=metric, precision=prec,
+                                         interpret=interpret)
         return rk, best
 
-    if (metric in ("manhattan", "cityblock") and csls_k > 0
-            and jax.devices()[0].platform == "tpu"):
+    if metric in ("manhattan", "cityblock") and csls_k > 0 and fused:
         from openea_tpu.ops.pallas_kernels import manhattan_rank_both
         gold = gold_cols.astype(jnp.int32)
         r2k = blocked_row_topk_means(embed2, embed1, csls_k, block,
-                                     metric, False)
+                                     metric, False, fused=fused,
+                                     interpret=interpret)
         _, _, rk2, best2 = manhattan_rank_both(embed1, embed2, gold,
-                                               r2=r2k, r2_gold=r2k[gold])
+                                               r2=r2k, r2_gold=r2k[gold],
+                                               interpret=interpret)
         return rk2, best2
 
     r1 = r2 = None
@@ -99,7 +117,15 @@ def rank_and_argmax(embed1: jax.Array, embed2: jax.Array,
         if csls_k > 0:
             s = 2.0 * s - args[2][:, None] - r2[None, :]
         gold_val = jnp.take_along_axis(s, gold[:, None], axis=1)      # [b,1]
-        greater = jnp.sum((s > gold_val).astype(jnp.int32), axis=1)
+        # exclude the gold column from the count: XLA may rematerialize
+        # the fused sim expression with different rounding on the gather
+        # side vs the comparison side (one-ulp drift), making the gold
+        # column compare greater than "itself" and inflating every rank
+        # by 1 (caught by tests/test_dispatch_fused.py; the Pallas
+        # kernels exclude it by construction)
+        not_gold = col_idx[None, :] != gold[:, None]
+        greater = jnp.sum(((s > gold_val) & not_gold).astype(jnp.int32),
+                          axis=1)
         tie_before = jnp.sum(((s == gold_val) &
                               (col_idx[None, :] < gold[:, None])).astype(jnp.int32), axis=1)
         rank_index = greater + tie_before
@@ -114,7 +140,6 @@ def rank_and_argmax(embed1: jax.Array, embed2: jax.Array,
     return ranks.reshape(-1)[:n1], best.reshape(-1)[:n1]
 
 
-@partial(jax.jit, static_argnames=("metric", "normalize", "csls_k", "block"))
 def rank_and_argmax_both(embed1: jax.Array, embed2: jax.Array,
                          gold_cols: jax.Array, metric: str = "inner",
                          normalize: bool = False, csls_k: int = 10,
@@ -122,10 +147,22 @@ def rank_and_argmax_both(embed1: jax.Array, embed2: jax.Array,
     """Plain AND CSLS exact ranks in ONE blocked similarity pass:
     (ranks, best, ranks_csls, best_csls).  The reference's test() prints
     both metric families (alignment.py:69-80); computing them together
-    halves the similarity FLOPs and the device round trips."""
+    halves the similarity FLOPs and the device round trips.
+
+    Dispatch is resolved outside jit (see rank_and_argmax)."""
     if csls_k <= 0:
         raise ValueError("rank_and_argmax_both requires csls_k > 0 "
                          "(use rank_and_argmax for plain-only ranking)")
+    return _rank_and_argmax_both(embed1, embed2, gold_cols, metric=metric,
+                                 normalize=normalize, csls_k=csls_k,
+                                 block=block, fused=dispatch.use_fused(),
+                                 interpret=dispatch.interpret_mode())
+
+
+@partial(jax.jit, static_argnames=("metric", "normalize", "csls_k", "block",
+                                   "fused", "interpret"))
+def _rank_and_argmax_both(embed1, embed2, gold_cols, metric, normalize,
+                          csls_k, block, fused, interpret):
     embed1 = jnp.asarray(embed1)
     embed2 = jnp.asarray(embed2)
     if normalize:
@@ -133,20 +170,25 @@ def rank_and_argmax_both(embed1: jax.Array, embed2: jax.Array,
         embed2 = l2_normalize(embed2)
         metric = "inner" if metric == "cosine" else metric
 
-    if (metric in ("inner", "euclidean", "manhattan", "cityblock")
-            and jax.devices()[0].platform == "tpu"):
+    if metric in ("inner", "euclidean", "manhattan", "cityblock") and fused:
         # one fused pass serves BOTH families; the r1 row statistic
         # cancels from the CSLS comparisons, saving its whole top-k pass
         from openea_tpu.ops.pallas_kernels import (inner_rank_both,
                                                    manhattan_rank_both)
         gold = gold_cols.astype(jnp.int32)
         r2k = blocked_row_topk_means(embed2, embed1, csls_k, block,
-                                     metric, False)
+                                     metric, False, fused=fused,
+                                     interpret=interpret)
         if metric in ("manhattan", "cityblock"):
             return manhattan_rank_both(embed1, embed2, gold, r2=r2k,
-                                       r2_gold=r2k[gold])
+                                       r2_gold=r2k[gold],
+                                       interpret=interpret)
+        prec = ("default" if (embed1.dtype == jnp.bfloat16
+                              and embed2.dtype == jnp.bfloat16)
+                else "highest")
         return inner_rank_both(embed1, embed2, gold, r2=r2k,
-                               r2_gold=r2k[gold], metric=metric)
+                               r2_gold=r2k[gold], metric=metric,
+                               precision=prec, interpret=interpret)
 
     r1 = blocked_row_topk_means(embed1, embed2, csls_k, block, metric, False)
     r2 = blocked_row_topk_means(embed2, embed1, csls_k, block, metric, False)
@@ -164,7 +206,11 @@ def rank_and_argmax_both(embed1: jax.Array, embed2: jax.Array,
 
     def rank_of(s, gold):
         gold_val = jnp.take_along_axis(s, gold[:, None], axis=1)
-        greater = jnp.sum((s > gold_val).astype(jnp.int32), axis=1)
+        # gold column excluded: see the rank_and_argmax fallback comment
+        # (XLA rematerialization can make gold compare greater than itself)
+        not_gold = col_idx[None, :] != gold[:, None]
+        greater = jnp.sum(((s > gold_val) & not_gold).astype(jnp.int32),
+                          axis=1)
         ties = jnp.sum(((s == gold_val)
                         & (col_idx[None, :] < gold[:, None])).astype(jnp.int32),
                        axis=1)

@@ -77,12 +77,19 @@ def _pad_rows(x: jax.Array, block: int):
     return x, nb, pad
 
 
-@partial(jax.jit, static_argnames=("k", "block", "metric", "normalize"))
+@partial(jax.jit, static_argnames=("k", "block", "metric", "normalize",
+                                   "fused", "interpret"))
 def blocked_row_topk_means(embed1, embed2, k: int, block: int = 4096,
-                           metric: str = "inner",
-                           normalize: bool = False) -> jax.Array:
+                           metric: str = "inner", normalize: bool = False,
+                           fused: bool = None,
+                           interpret: bool = False) -> jax.Array:
     """mean of top-k of each row of sim(embed1, embed2) without holding the
-    full matrix; processes `block` rows at a time via lax.map."""
+    full matrix; processes `block` rows at a time via lax.map.
+
+    ``fused``/``interpret``: backend-dispatch statics (only material for
+    the manhattan metric).  Callers that resolve dispatch outside jit
+    (ops/ranking.py) pass them explicitly; the None default keeps the
+    platform-derived choice for direct callers."""
     n1 = embed1.shape[0]
     if normalize:
         embed1 = l2_normalize(embed1)
@@ -93,13 +100,15 @@ def blocked_row_topk_means(embed1, embed2, k: int, block: int = 4096,
     # the XLA manhattan formulation broadcasts an [block, n2, d]
     # intermediate through HBM (the 10+ s cost of the 100K CSLS-manhattan
     # eval); the Pallas kernel streams VMEM tiles instead
-    pallas_manhattan = (metric in ("manhattan", "cityblock")
-                        and jax.devices()[0].platform == "tpu")
+    if fused is None:
+        fused = jax.devices()[0].platform == "tpu"
+    pallas_manhattan = metric in ("manhattan", "cityblock") and fused
 
     def one(block_rows):
         if pallas_manhattan:
             from openea_tpu.ops.pallas_kernels import cityblock_matrix
-            s = 1.0 - cityblock_matrix(block_rows, embed2)
+            s = 1.0 - cityblock_matrix(block_rows, embed2,
+                                       interpret=interpret)
         else:
             s = _pairwise(block_rows, embed2, metric, False)
         top, _ = jax.lax.top_k(s, k)
