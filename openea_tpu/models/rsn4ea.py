@@ -243,6 +243,12 @@ class RSN4EA(BasicModel):
                                optax.adam(a.learning_rate))
         self.opt_state = self.opt.init(self.params)
         self._epoch_fn = None
+        # multi-chip: the walk batches are plain data-parallel work
+        # (reference rsn4ea.py:351-448 runs them on one GPU); the base
+        # mesh setup row-shards ent/rel tables over 'model' and the
+        # epoch fn below shards each LSTM batch over 'data'
+        if a.get("use_mesh") and len(jax.devices()) > 1:
+            self._setup_mesh()
 
     # -- network -------------------------------------------------------- #
 
@@ -333,12 +339,20 @@ class RSN4EA(BasicModel):
         n = data.shape[0]
         opt = self.opt
 
+        mesh = self.mesh
+
         def epoch(params, opt_state, key):
             # numpy closure constant -> jnp inside the trace (host embed)
             data_c = jnp.asarray(data)
             kc, kscan = jax.random.split(key)
             choices = jax.random.randint(kc, (num_batch * bsz,), 0, n)
             batches = data_c[choices].reshape(num_batch, bsz, -1)
+            if mesh is not None:
+                # each scanned LSTM step splits its batch over 'data';
+                # grads on the replicated LSTM/NCE params psum over ICI
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                batches = jax.lax.with_sharding_constraint(
+                    batches, NamedSharding(mesh, P(None, "data", None)))
             keys = jax.random.split(kscan, num_batch)
 
             def step(carry, xs):
@@ -353,7 +367,7 @@ class RSN4EA(BasicModel):
                 step, (params, opt_state), (batches, keys))
             return params, opt_state, jnp.mean(losses)
 
-        return jax.jit(epoch, donate_argnums=(0, 1))
+        return self._jit_epoch(epoch, n_extra=0)
 
     def run(self):
         t = time.time()

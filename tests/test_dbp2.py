@@ -72,3 +72,49 @@ def test_mtransev2_e2e():
     mrr = model.valid("mrr")
     assert np.isfinite(mrr)
     assert mrr > 0.02
+
+
+@pytest.mark.slow
+def test_mtransev2_mesh_training_matches_single_device():
+    """MTransEV2 trains on the 8-device mesh: triple epochs through the
+    base sharded path, marginal-mapping and distance-margin epochs
+    through mesh-aware jits with their own sharded optimizer states
+    (reference dbp2.0/mtranse.py:25-38 pins a single GPU)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    kw = dict(embedding_module="MTransEV2", alignment_module="mapping",
+              detection_mode="margin", dim=32, init="xavier",
+              loss_norm="L2", ent_l2_norm=True, rel_l2_norm=True,
+              embed_margin=1.5, mapping_margin=1.0, mapping_neg_num=4,
+              soft_nn=10, distance_margin=0.9, learning_rate=0.01,
+              optimizer="Adam", batch_size=400, max_epoch=8,
+              neg_sampling="uniform", neg_triple_num=1,
+              truncated_epsilon=0.95, truncated_freq=10,
+              eval_metric="inner", eval_norm=True, top_k=[1, 5, 10],
+              start_valid=1000, eval_freq=1000, stop_metric="mrr", seed=3)
+
+    def train(use_mesh):
+        kgs = make_dbp2_kgs()
+        m = MTransEV2()
+        m.set_args(Args(dict(kw, use_mesh=use_mesh)))
+        m.set_kgs(kgs)
+        m.init()
+        m.run()
+        return m
+
+    m1 = train(False)
+    m2 = train(True)
+    assert m2.mesh is not None and m2.mesh.size == 8
+    assert m2.params["ent_embeds"].sharding.spec[0] == "model"
+    e1 = np.asarray(m1.params["ent_embeds"])
+    e2 = np.asarray(m2.params["ent_embeds"])[:e1.shape[0]]
+    assert np.isfinite(e2).all()
+    assert float(np.abs(e2 - e1).mean()) < 2e-3
+    mrr1, mrr2 = m1.valid("mrr"), m2.valid("mrr")
+    assert np.isfinite(mrr2)
+    assert abs(mrr1 - mrr2) < 0.03
+    # the dangling two-step eval also runs on sharded params
+    f1 = m2.two_step_evaluation_margin(
+        m2.kgs.valid_linked_entities1, m2.kgs.valid_unlinked_entities1)
+    assert np.isfinite(f1)
