@@ -381,3 +381,343 @@ def manhattan_rank(embed1: jax.Array, embed2: jax.Array, gold_cols: jax.Array,
         embed1, embed2, gold_cols, csls=False, tm=tm, tn=tn,
         feat_chunk=feat_chunk, interpret=interpret)
     return rank, best
+
+
+# --------------------------------------------------------------------- #
+# fused streaming exact top-k row means — the CSLS r2 statistic
+# (reference similarity.py:57-83 calculate_nearest_k).  The XLA path
+# materializes each [block, n] sim slab in HBM and runs lax.top_k over it
+# (109 ms/pass at the 100K eval shape — ~40% of the fused both-family
+# eval).  Here each [TM, TN] sim tile is merged into an exact running
+# top-k register block ([TM, 128] lanes, first k live) with k
+# extract-max steps on the VPU, so the slab never exists and no sort
+# ever runs.  Exact: after merging every tile, the running block holds
+# the true k largest values of the row (duplicates handled one
+# occurrence per step, same value semantics as lax.top_k).
+# --------------------------------------------------------------------- #
+
+_TKLANES = 128
+
+
+def _topk_update(s, acc, k: int):
+    """Merge sim tile s [tm, tn] into running top-k acc [tm, _TKLANES]
+    (first k lanes live, rest _NEG): k exact extract-max steps over the
+    concatenation.  Returns the new acc block."""
+    tm, tn = s.shape
+    u = jnp.concatenate([s, acc], axis=1)
+    W = u.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tm, W), 1)
+    outlane = jax.lax.broadcasted_iota(jnp.int32, (tm, _TKLANES), 1)
+    new = jnp.full((tm, _TKLANES), _NEG, jnp.float32)
+    for step in range(k):
+        m = jnp.max(u, axis=1, keepdims=True)
+        pos = jnp.min(jnp.where(u == m, lane, W), axis=1, keepdims=True)
+        u = jnp.where(lane == pos, _NEG, u)
+        new = jnp.where(outlane == step, m, new)
+    return new
+
+
+def _topk_mean_out(new, k: int):
+    outlane = jax.lax.broadcasted_iota(jnp.int32, new.shape, 1)
+    return jnp.sum(jnp.where(outlane < k, new, 0.0), axis=1,
+                   keepdims=True) / k
+
+
+def _topk_means_kernel(a_ref, b_ref, sqa_ref, sqb_ref, acc_ref, out_ref,
+                       *, k: int, nb: int, metric: str, precision: str):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.full_like(acc_ref, _NEG)
+
+    tn = b_ref.shape[0]
+    s = jax.lax.dot_general(a_ref[:], b_ref[:], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_PRECS[precision])
+    if metric == "euclidean":
+        d2 = jnp.maximum(sqa_ref[:] + sqb_ref[:] - 2.0 * s, 0.0)
+        s = 1.0 - jnp.sqrt(d2)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * tn
+    s = jnp.where(col < nb, s, _NEG)
+    new = _topk_update(s, acc_ref[:], k)
+    acc_ref[:] = new
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:] = _topk_mean_out(new, k)
+
+
+def _topk_means_manhattan_kernel(at_ref, bt_ref, acc_ref, out_ref, *,
+                                 k: int, nb: int, feat_chunk: int):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.full_like(acc_ref, _NEG)
+
+    tm = at_ref.shape[1]
+    tn = bt_ref.shape[1]
+    d = at_ref.shape[0]
+
+    def body(c, dist):
+        off = pl.multiple_of(c * feat_chunk, feat_chunk)
+        xd = at_ref[pl.ds(off, feat_chunk), :]
+        yd = bt_ref[pl.ds(off, feat_chunk), :]
+        return dist + jnp.sum(jnp.abs(xd[:, :, None] - yd[:, None, :]),
+                              axis=0)
+
+    dist = jax.lax.fori_loop(0, d // feat_chunk, body,
+                             jnp.zeros((tm, tn), jnp.float32))
+    s = 1.0 - dist
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * tn
+    s = jnp.where(col < nb, s, _NEG)
+    new = _topk_update(s, acc_ref[:], k)
+    acc_ref[:] = new
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:] = _topk_mean_out(new, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "tm", "tn",
+                                             "precision", "feat_chunk",
+                                             "interpret"))
+def topk_means(a: jax.Array, b: jax.Array, k: int, metric: str = "inner",
+               tm: int = 0, tn: int = 0, precision: str = "highest",
+               feat_chunk: int = 8, interpret: bool = False) -> jax.Array:
+    """mean of the exact top-k of each row of sim(a, b) — [na] f32 —
+    without materializing any sim slab (drop-in for the blocked
+    lax.top_k pass in ops/similarity.blocked_row_topk_means)."""
+    na, d0 = a.shape
+    nb = b.shape[0]
+    assert 0 < k <= nb, (k, nb)
+    if metric == "cosine":
+        from openea_tpu.ops.initializers import l2_normalize
+        a, b = l2_normalize(a), l2_normalize(b)
+        metric = "inner"
+
+    if metric in ("manhattan", "cityblock"):
+        tm = tm or 256
+        tn = tn or 512
+        d = -(-d0 // feat_chunk) * feat_chunk
+        m = -(-na // tm) * tm
+        n = -(-nb // tn) * tn
+        at = jnp.zeros((m, d), jnp.float32).at[:na, :d0].set(a)
+        bt = jnp.zeros((n, d), jnp.float32).at[:nb, :d0].set(b)
+        acc, out = pl.pallas_call(
+            functools.partial(_topk_means_manhattan_kernel, k=k, nb=nb,
+                              feat_chunk=feat_chunk),
+            grid=(m // tm, n // tn),
+            in_specs=[pl.BlockSpec((d, tm), lambda i, j: (0, i)),
+                      pl.BlockSpec((d, tn), lambda i, j: (0, j))],
+            out_specs=[pl.BlockSpec((tm, _TKLANES), lambda i, j: (i, 0)),
+                       pl.BlockSpec((tm, 1), lambda i, j: (i, 0))],
+            out_shape=[jax.ShapeDtypeStruct((m, _TKLANES), jnp.float32),
+                       jax.ShapeDtypeStruct((m, 1), jnp.float32)],
+            interpret=interpret,
+        )(at.T, bt.T)
+        return out[:na, 0]
+
+    assert metric in ("inner", "euclidean"), metric
+    pack_dt = (jnp.bfloat16 if (a.dtype == jnp.bfloat16
+                                and b.dtype == jnp.bfloat16)
+               else jnp.float32)
+    d = -(-d0 // 128) * 128
+    if not tm:
+        # same VMEM budget rule as inner_rank_both (wide concat
+        # embeddings need smaller tiles)
+        tm = max(128, min(512, (12 * 2 ** 20 // (24 * d)) // 128 * 128))
+        tn = 2 * tm
+    m = -(-na // tm) * tm
+    n = -(-nb // tn) * tn
+    ap = jnp.zeros((m, d), pack_dt).at[:na, :d0].set(a)
+    bp = jnp.zeros((n, d), pack_dt).at[:nb, :d0].set(b)
+    sqa = jnp.zeros((m, 1), jnp.float32)
+    sqb = jnp.zeros((1, n), jnp.float32)
+    if metric == "euclidean":
+        sqa = sqa.at[:na, 0].set(jnp.sum(jnp.square(a), axis=1,
+                                         dtype=jnp.float32))
+        sqb = sqb.at[0, :nb].set(jnp.sum(jnp.square(b), axis=1,
+                                         dtype=jnp.float32))
+    acc, out = pl.pallas_call(
+        functools.partial(_topk_means_kernel, k=k, nb=nb, metric=metric,
+                          precision=precision),
+        grid=(m // tm, n // tn),
+        in_specs=[pl.BlockSpec((tm, d), lambda i, j: (i, 0)),
+                  pl.BlockSpec((tn, d), lambda i, j: (j, 0)),
+                  pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
+                  pl.BlockSpec((1, tn), lambda i, j: (0, j))],
+        out_specs=[pl.BlockSpec((tm, _TKLANES), lambda i, j: (i, 0)),
+                   pl.BlockSpec((tm, 1), lambda i, j: (i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((m, _TKLANES), jnp.float32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.float32)],
+        interpret=interpret,
+    )(ap, bp, sqa, sqb)
+    return out[:na, 0]
+
+
+# --------------------------------------------------------------------- #
+# cached-distance manhattan both-family eval.  The two-pass form pays
+# the VPU cityblock floor TWICE (r2 pass + rank pass, ~290 ms each at
+# the 100K shape — manhattan has no MXU mapping).  When the full [m, n]
+# f32 distance matrix fits HBM (8.4 GB at 30K x 70K; ~16 GB/chip), it
+# is cheaper to compute it ONCE (one VPU pass + one HBM write) and have
+# both the column-top-k r2 statistic and the rank counters stream it
+# back (HBM reads, trivial compute).  ops/ranking.py gates this on a
+# memory budget and falls back to the two-pass kernels above.
+# --------------------------------------------------------------------- #
+
+
+def _col_topk_means_kernel(mat_ref, acc_ref, out_ref, *, k: int, sub: int,
+                           n1: int, tm: int):
+    """Running exact top-k per COLUMN of sim = 1 - dist, streamed over
+    row tiles (grid = (nj, ni), i innermost).  acc [sub, tn] holds the
+    first k live values per column; rows >= n1 (padding) are masked."""
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.full_like(acc_ref, _NEG)
+
+    tn = mat_ref.shape[1]
+    s = 1.0 - mat_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * tm
+    s = jnp.where(row < n1, s, _NEG)
+    u = jnp.concatenate([s, acc_ref[:]], axis=0)
+    H = u.shape[0]
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (H, tn), 0)
+    oidx = jax.lax.broadcasted_iota(jnp.int32, (sub, tn), 0)
+    new = jnp.full((sub, tn), _NEG, jnp.float32)
+    for step in range(k):
+        m = jnp.max(u, axis=0, keepdims=True)
+        pos = jnp.min(jnp.where(u == m, ridx, H), axis=0, keepdims=True)
+        u = jnp.where(ridx == pos, _NEG, u)
+        new = jnp.where(oidx == step, m, new)
+    acc_ref[:] = new
+
+    @pl.when(i == ni - 1)
+    def _():
+        out_ref[:] = jnp.sum(jnp.where(oidx < k, new, 0.0), axis=0,
+                             keepdims=True) / k
+
+
+def _manhattan_rank_from_mat_kernel(mat_ref, gold_ref, goldd_ref, r2_ref,
+                                    tcs_ref, rank_ref, best_ref, bestd_ref,
+                                    rankc_ref, bestc_ref, bestcd_ref,
+                                    *, tn: int):
+    """_manhattan_rank_kernel's counter logic with the distance tile
+    READ from the cached HBM matrix instead of recomputed."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        rank_ref[:] = jnp.zeros_like(rank_ref)
+        best_ref[:] = jnp.zeros_like(best_ref)
+        bestd_ref[:] = jnp.full_like(bestd_ref, _NEG)
+        rankc_ref[:] = jnp.zeros_like(rankc_ref)
+        bestc_ref[:] = jnp.zeros_like(bestc_ref)
+        bestcd_ref[:] = jnp.full_like(bestcd_ref, _NEG)
+
+    dist = mat_ref[:]
+    tm = dist.shape[0]
+    gold_d = goldd_ref[:]
+    gold_c = gold_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1) + j * tn
+    closer = ((dist < gold_d) & (col != gold_c)).astype(jnp.int32)
+    rank_ref[:] += jnp.sum(closer, axis=1, keepdims=True)
+    simt = -dist
+    tile_best = jnp.max(simt, axis=1, keepdims=True)
+    tile_idx = jnp.argmax(simt, axis=1).astype(jnp.int32)[:, None] + j * tn
+    better = tile_best > bestd_ref[:]
+    bestd_ref[:] = jnp.where(better, tile_best, bestd_ref[:])
+    best_ref[:] = jnp.where(better, tile_idx, best_ref[:])
+    sc = -2.0 * dist - r2_ref[:]
+    closer_c = ((sc > tcs_ref[:]) & (col != gold_c)).astype(jnp.int32)
+    rankc_ref[:] += jnp.sum(closer_c, axis=1, keepdims=True)
+    tile_best = jnp.max(sc, axis=1, keepdims=True)
+    tile_idx = jnp.argmax(sc, axis=1).astype(jnp.int32)[:, None] + j * tn
+    better = tile_best > bestcd_ref[:]
+    bestcd_ref[:] = jnp.where(better, tile_best, bestcd_ref[:])
+    bestc_ref[:] = jnp.where(better, tile_idx, bestc_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tm", "tn", "feat_chunk",
+                                             "interpret"))
+def manhattan_rank_both_cached(embed1: jax.Array, embed2: jax.Array,
+                               gold_cols: jax.Array, k: int = 10,
+                               tm: int = 256, tn: int = 512,
+                               feat_chunk: int = 8,
+                               interpret: bool = False):
+    """(rank, best, rank_csls, best_csls) under cityblock similarity,
+    with the r2 CSLS statistic computed from the SAME cached distance
+    matrix — one VPU distance pass total instead of two."""
+    n1, d0 = embed1.shape
+    n2 = embed2.shape[0]
+    d = -(-d0 // feat_chunk) * feat_chunk
+    m = -(-n1 // tm) * tm
+    n = -(-n2 // tn) * tn
+    e1 = jnp.zeros((m, d), jnp.float32).at[:n1, :d0].set(embed1)
+    # pad candidates at 1e18 coordinates -> huge distance (never ranked,
+    # never in any column top-k); pad e1 rows are masked in the r2 kernel
+    e2 = jnp.full((n, d), 1e18, jnp.float32).at[:n2, :d0].set(embed2)
+    e2 = e2.at[:n2, d0:].set(0.0)
+    e1 = e1.at[:n1, d0:].set(0.0)
+
+    dist = pl.pallas_call(
+        functools.partial(_cityblock_mat_kernel, feat_chunk=feat_chunk),
+        grid=(m // tm, n // tn),
+        in_specs=[pl.BlockSpec((d, tm), lambda i, j: (0, i)),
+                  pl.BlockSpec((d, tn), lambda i, j: (0, j))],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        interpret=interpret,
+    )(e1.T, e2.T)
+
+    sub = max(8, -(-k // 8) * 8)
+    _, r2w = pl.pallas_call(
+        functools.partial(_col_topk_means_kernel, k=k, sub=sub, n1=n1,
+                          tm=tm),
+        grid=(n // tn, m // tm),
+        in_specs=[pl.BlockSpec((tm, tn), lambda jj, ii: (ii, jj))],
+        out_specs=[pl.BlockSpec((sub, tn), lambda jj, ii: (0, jj)),
+                   pl.BlockSpec((1, tn), lambda jj, ii: (0, jj))],
+        out_shape=[jax.ShapeDtypeStruct((sub, n), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n), jnp.float32)],
+        interpret=interpret,
+    )(dist)
+    r2 = r2w[0, :n2]
+
+    gold = gold_cols.astype(jnp.int32)
+    gold_vecs = embed2[gold]
+    gold_dist = jnp.sum(jnp.abs(embed1 - gold_vecs), axis=1, keepdims=True)
+    goldp = jnp.zeros((m, 1), jnp.int32).at[:n1, 0].set(gold)
+    golddp = jnp.full((m, 1), -1.0, jnp.float32).at[:n1].set(gold_dist)
+    r2p = jnp.zeros((1, n), jnp.float32).at[0, :n2].set(r2)
+    tcs = -2.0 * gold_dist[:, 0] - r2[gold]
+    tcsp = jnp.full((m, 1), 3.4e38, jnp.float32).at[:n1, 0].set(tcs)
+
+    outs = pl.pallas_call(
+        functools.partial(_manhattan_rank_from_mat_kernel, tn=tn),
+        grid=(m // tm, n // tn),
+        in_specs=[
+            pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j)),
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
+        ],
+        out_specs=[pl.BlockSpec((tm, 1), lambda i, j: (i, 0))] * 6,
+        out_shape=[jax.ShapeDtypeStruct((m, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.float32)],
+        interpret=interpret,
+    )(dist, goldp, golddp, r2p, tcsp)
+    rank, best, _, rank_c, best_c, _ = outs
+    return rank[:n1, 0], best[:n1, 0], rank_c[:n1, 0], best_c[:n1, 0]

@@ -20,6 +20,16 @@ from openea_tpu.ops import dispatch
 from openea_tpu.ops.initializers import l2_normalize
 from openea_tpu.ops.similarity import _pairwise, blocked_row_topk_means
 
+# manhattan CSLS eval: cache the full [n1, n2] f32 distance matrix in HBM
+# when it fits (one VPU cityblock pass instead of two — the metric has no
+# MXU mapping, so recomputation is the dominant cost).  8.4 GB at the
+# 100K eval shape vs ~16 GB/chip; tests/benches may patch this down.
+_MANHATTAN_CACHE_BYTES = 9 * 10 ** 9
+
+
+def _manhattan_cache_fits(n1: int, n2: int) -> bool:
+    return 4 * n1 * n2 <= _MANHATTAN_CACHE_BYTES
+
 
 def rank_and_argmax(embed1: jax.Array, embed2: jax.Array,
                     gold_cols: jax.Array, metric: str = "inner",
@@ -84,8 +94,14 @@ def _rank_and_argmax(embed1, embed2, gold_cols, metric, normalize,
         return rk, best
 
     if metric in ("manhattan", "cityblock") and csls_k > 0 and fused:
-        from openea_tpu.ops.pallas_kernels import manhattan_rank_both
         gold = gold_cols.astype(jnp.int32)
+        if _manhattan_cache_fits(embed1.shape[0], embed2.shape[0]):
+            from openea_tpu.ops.pallas_kernels import (
+                manhattan_rank_both_cached)
+            _, _, rk2, best2 = manhattan_rank_both_cached(
+                embed1, embed2, gold, k=csls_k, interpret=interpret)
+            return rk2, best2
+        from openea_tpu.ops.pallas_kernels import manhattan_rank_both
         r2k = blocked_row_topk_means(embed2, embed1, csls_k, block,
                                      metric, False, fused=fused,
                                      interpret=interpret)
@@ -176,13 +192,25 @@ def _rank_and_argmax_both(embed1, embed2, gold_cols, metric, normalize,
         from openea_tpu.ops.pallas_kernels import (inner_rank_both,
                                                    manhattan_rank_both)
         gold = gold_cols.astype(jnp.int32)
-        r2k = blocked_row_topk_means(embed2, embed1, csls_k, block,
-                                     metric, False, fused=fused,
-                                     interpret=interpret)
         if metric in ("manhattan", "cityblock"):
+            if _manhattan_cache_fits(embed1.shape[0], embed2.shape[0]):
+                # one VPU distance pass total: r2 AND both rank families
+                # stream the cached HBM matrix (pallas_kernels section
+                # comment; falls back to two passes past the HBM budget)
+                from openea_tpu.ops.pallas_kernels import (
+                    manhattan_rank_both_cached)
+                return manhattan_rank_both_cached(embed1, embed2, gold,
+                                                  k=csls_k,
+                                                  interpret=interpret)
+            r2k = blocked_row_topk_means(embed2, embed1, csls_k, block,
+                                         metric, False, fused=fused,
+                                         interpret=interpret)
             return manhattan_rank_both(embed1, embed2, gold, r2=r2k,
                                        r2_gold=r2k[gold],
                                        interpret=interpret)
+        r2k = blocked_row_topk_means(embed2, embed1, csls_k, block,
+                                     metric, False, fused=fused,
+                                     interpret=interpret)
         prec = ("default" if (embed1.dtype == jnp.bfloat16
                               and embed2.dtype == jnp.bfloat16)
                 else "highest")

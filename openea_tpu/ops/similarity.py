@@ -95,13 +95,25 @@ def blocked_row_topk_means(embed1, embed2, k: int, block: int = 4096,
         embed1 = l2_normalize(embed1)
         embed2 = l2_normalize(embed2)
         metric = "inner" if metric == "cosine" else metric
+    if fused is None:
+        fused = jax.devices()[0].platform == "tpu"
+    if fused and k <= embed2.shape[0] and metric in (
+            "inner", "cosine", "euclidean", "manhattan", "cityblock"):
+        # fused streaming exact top-k means: each sim tile merges into a
+        # VMEM-resident running top-k (k extract-max steps), so neither
+        # the [block, n2] slab nor any lax.top_k sort ever exists — the
+        # 109 ms/pass r2 residual of the 100K fused eval
+        from openea_tpu.ops.pallas_kernels import topk_means
+        prec = ("default" if (embed1.dtype == jnp.bfloat16
+                              and embed2.dtype == jnp.bfloat16)
+                else "highest")
+        return topk_means(embed1, embed2, k, metric=metric,
+                          precision=prec, interpret=interpret)
     e1p, nb, _ = _pad_rows(embed1, block)
     blocks = e1p.reshape(nb, block, e1p.shape[1])
     # the XLA manhattan formulation broadcasts an [block, n2, d]
     # intermediate through HBM (the 10+ s cost of the 100K CSLS-manhattan
     # eval); the Pallas kernel streams VMEM tiles instead
-    if fused is None:
-        fused = jax.devices()[0].platform == "tpu"
     pallas_manhattan = metric in ("manhattan", "cityblock") and fused
 
     def one(block_rows):

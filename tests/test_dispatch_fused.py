@@ -52,7 +52,7 @@ RANK_BRANCHES = [
     ("euclidean", 0, "inner_rank_both"),
     ("inner", 5, "inner_rank_both"),
     ("manhattan", 0, "manhattan_rank"),
-    ("manhattan", 5, "manhattan_rank_both"),
+    ("manhattan", 5, "manhattan_rank_both_cached"),
 ]
 
 
@@ -75,7 +75,7 @@ def test_rank_and_argmax_fused_branch(monkeypatch, metric, csls_k, kernel):
 @pytest.mark.parametrize("metric,kernel", [
     ("inner", "inner_rank_both"),
     ("euclidean", "inner_rank_both"),
-    ("manhattan", "manhattan_rank_both"),
+    ("manhattan", "manhattan_rank_both_cached"),
 ])
 def test_rank_and_argmax_both_fused_branch(monkeypatch, metric, kernel):
     from openea_tpu.ops.ranking import rank_and_argmax_both
@@ -153,3 +153,36 @@ def test_alinet_init_wires_att_metas_under_force_fused():
     for a, b in zip(out0, out1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("metric", ["inner", "euclidean", "manhattan"])
+def test_blocked_row_topk_means_fused_branch(monkeypatch, metric):
+    from openea_tpu.ops.similarity import blocked_row_topk_means
+    e1, e2, _ = _rand(seed=7)
+    want = blocked_row_topk_means(e1, e2, 5, 64, metric, False)
+    calls = _recorder(monkeypatch, ["topk_means"])
+    blocked_row_topk_means.clear_cache()
+    with dispatch.force_fused():
+        got = blocked_row_topk_means(e1, e2, 5, 64, metric, False,
+                                     fused=True, interpret=True)
+    assert calls, "fused branch never reached topk_means"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_manhattan_cached_path_matches_two_pass(monkeypatch):
+    """Past the HBM budget the manhattan+CSLS branch falls back to the
+    two-pass kernels with identical ranks."""
+    from openea_tpu.ops import ranking
+    e1, e2, gold = _rand(seed=21)
+    _clear_rank_caches()
+    with dispatch.force_fused():
+        cached = ranking.rank_and_argmax_both(e1, e2, gold,
+                                              metric="manhattan", csls_k=5)
+    monkeypatch.setattr(ranking, "_MANHATTAN_CACHE_BYTES", 0)
+    _clear_rank_caches()
+    with dispatch.force_fused():
+        twopass = ranking.rank_and_argmax_both(e1, e2, gold,
+                                               metric="manhattan", csls_k=5)
+    for a, b in zip(cached, twopass):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
