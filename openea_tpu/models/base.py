@@ -1005,7 +1005,18 @@ class BasicModel:
         if self.args.get("resume"):
             start_epoch = self.restore_checkpoint(self.args.get("checkpoint_path"))
         epc = max(1, int(self.args.get("epochs_per_call", 1) or 1))
-        if epc > 1:
+        if self.args.get("timed_epochs"):
+            # measured-timing mode (VERDICT r3 #8): force 1-epoch device
+            # calls so every per-epoch cost-time line is an individually
+            # measured wall-clock delta — run_time.py-style sums over the
+            # log are then measurements, not within-call averages.  Costs
+            # one host round trip per epoch (~60-70 ms on the axon
+            # tunnel), so keep it off for production runs.
+            if epc > 1:
+                print("timed_epochs: forcing epochs_per_call 1 (each "
+                      "cost-time line is an individual measurement)")
+            epc = 1
+        elif epc > 1:
             # timing-semantics disclosure (VERDICT r2 #8): fused epochs
             # print the within-call average as each epoch's cost time, so
             # per-epoch lines are sum-faithful but not individually

@@ -126,6 +126,10 @@ PRESETS_15K: Dict[str, Dict[str, Any]] = {
         "batch_size": 5000, "neg_sampling": "uniform", "neg_triple_num": 5,
         "support_number": 1, "test_method": "sa", "early_stop": False,
         "eval_metric": "manhattan", "eval_norm": False, "start_valid": 100,
+        # bf16 feature gathers in the Pallas SpMM (f32 accumulate): ~2x
+        # less HBM traffic; metric-neutral on the hard tier
+        # (tests/test_hard_synthetic.py bf16 parity tests)
+        "spmm_precision": "default",
     },
     "rdgcn": {
         "embedding_module": "RDGCN", "alignment_module": "mapping",
@@ -133,6 +137,7 @@ PRESETS_15K: Dict[str, Dict[str, Any]] = {
         "learning_rate": 0.002, "batch_size": 5000,
         "neg_sampling": "uniform", "neg_triple_num": 125,
         "eval_metric": "manhattan", "eval_norm": False, "start_valid": 30,
+        "spmm_precision": "default",
     },
     "alinet": {
         "embedding_module": "AliNet", "alignment_module": "mapping",

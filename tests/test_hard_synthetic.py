@@ -135,3 +135,171 @@ def test_gmnn_does_not_saturate_on_hard_tier():
     h1, mrr = m._rank_eval(m._test_ex, "accurate")
     assert np.isfinite(mrr)
     assert h1 < 90.0, f"hard tier failed to de-saturate GMNN (H@1={h1})"
+
+
+# --------------------------------------------------------------------- #
+# bf16 SpMM metric parity (presets now default spmm_precision='default')
+# --------------------------------------------------------------------- #
+
+def test_bf16_spmm_metric_parity_gcn_align():
+    """GCN-Align trained through the Pallas SpMM with bf16 feature
+    gathers (spmm_precision='default', now the preset default) matches
+    the f32-exact kernel AND the XLA path at the metric level on the
+    hard tier."""
+    from openea_tpu.ops import dispatch
+    kgs = hard_kgs("mapping")
+    kw = dict(learning_rate=2.0, gamma=3.0, beta=0.9, neg_triple_num=5,
+              se_dim=32, ae_dim=32, dim=32, eval_metric="manhattan",
+              eval_norm=False, test_method="sa", start_valid=1000,
+              eval_freq=1000)
+    m_x, _ = run_model("GCN_Align", "mapping", epochs=60, kgs=kgs, **kw)
+    h_x, mrr_x = test_hits1(m_x)
+    with dispatch.force_fused():
+        m_b, _ = run_model("GCN_Align", "mapping", epochs=60, kgs=kgs,
+                           spmm_precision="default", **kw)
+    h_b, mrr_b = test_hits1(m_b)
+    assert abs(h_b - h_x) <= 1.0, (h_b, h_x)
+    assert abs(mrr_b - mrr_x) <= 0.01, (mrr_b, mrr_x)
+
+
+def test_bf16_spmm_metric_parity_rdgcn():
+    from openea_tpu.ops import dispatch
+    kgs = hard_kgs("mapping")
+    kw = dict(dim=24, learning_rate=0.005, alpha=0.1, beta=0.3, gamma=1.0,
+              neg_triple_num=3, dropout=0.0, eval_metric="manhattan",
+              eval_norm=False, start_valid=1000, eval_freq=1000)
+    m_x, _ = run_model("RDGCN", "mapping", epochs=15, kgs=kgs, **kw)
+    h_x, mrr_x = test_hits1(m_x)
+    with dispatch.force_fused():
+        m_b, _ = run_model("RDGCN", "mapping", epochs=15, kgs=kgs,
+                           spmm_precision="default", **kw)
+    h_b, mrr_b = test_hits1(m_b)
+    assert abs(h_b - h_x) <= 1.5, (h_b, h_x)
+    assert abs(mrr_b - mrr_x) <= 0.015, (mrr_b, mrr_x)
+
+
+# --------------------------------------------------------------------- #
+# round-4 floors: the intricate models (halved measured H@1, same
+# convention as the floors above; measured values in the comments)
+# --------------------------------------------------------------------- #
+
+def test_rdgcn_hard_tier_floor():
+    # measured 29.9 H@1 (30 epochs)
+    kgs = synthesize_kg_pair(num_entities=300, num_relations=10,
+                             num_triples=1500, train_frac=0.3,
+                             num_attributes=30, seed=13, hard=True,
+                             train_noise=0.05, mode="mapping")
+    m, _ = run_model("RDGCN", "mapping", epochs=30, kgs=kgs,
+                     dim=32, learning_rate=0.005, alpha=0.1, beta=0.3,
+                     gamma=1.0, neg_triple_num=5, dropout=0.0,
+                     eval_metric="manhattan", eval_norm=False,
+                     start_valid=1000, eval_freq=1000)
+    h1, mrr = test_hits1(m)
+    assert h1 > 15.0, f"RDGCN hard-tier floor broken (H@1={h1})"
+
+
+ALINET_HARD_KW = dict(
+    init="xavier", layer_dims=[32, 32, 32], learning_rate=0.005,
+    optimizer="Adam", neg_margin=1.5, neg_margin_balance=0.1,
+    neg_triple_num=5, truncated_epsilon=0.98, truncated_freq=10,
+    batch_size=60, min_rel_win=5, rel_param=0.01, sim_th=0.0,
+    start_augment=2, k=5, eval_metric="inner", eval_norm=False,
+    dropout=0.0, start_valid=1000, eval_freq=1000)
+
+
+def test_alinet_hard_tier_floor():
+    # measured 14.2 H@1 (60 epochs)
+    m, _ = run_model("AliNet", "mapping", epochs=60,
+                     kgs=hard_kgs("mapping"), **ALINET_HARD_KW)
+    h1, mrr = test_hits1(m)
+    assert h1 > 7.0, f"AliNet hard-tier floor broken (H@1={h1})"
+
+
+def test_alinet_mesh_hard_tier_floor():
+    """Mesh training has a QUALITY gate, not just init-forward parity:
+    the 8-device boundary-exchange run must clear the same halved floor
+    (measured 14.2 H@1 on the mesh — identical to single-device)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    m, _ = run_model("AliNet", "mapping", epochs=60,
+                     kgs=hard_kgs("mapping"), use_mesh=True,
+                     **ALINET_HARD_KW)
+    assert m.mesh is not None and m.mesh.size == 8
+    h1, mrr = test_hits1(m)
+    assert h1 > 7.0, f"AliNet mesh hard-tier floor broken (H@1={h1})"
+
+
+def test_rsn4ea_hard_tier_floor():
+    # measured 15.1 H@1 (10 epochs)
+    kgs = hard_kgs("mapping", num_entities=120, num_relations=6,
+                   num_triples=900, num_attributes=0)
+    m, _ = run_model("RSN4EA", "mapping", epochs=10, kgs=kgs,
+                     dim=32, hidden_size=32, num_layers=2, max_length=7,
+                     num_samples=64, keep_prob=1.0, learning_rate=0.003,
+                     optimizer="Adagrad", alpha=0.7, beta=0.7,
+                     batch_size=256, eval_metric="inner", eval_norm=False,
+                     ent_l2_norm=True, rel_l2_norm=True,
+                     start_valid=1000, eval_freq=1000)
+    h1, mrr = test_hits1(m)
+    assert h1 > 7.5, f"RSN4EA hard-tier floor broken (H@1={h1})"
+
+
+def test_multike_hard_tier_floor():
+    # measured 61.7 H@1 (10 epochs)
+    kgs = hard_kgs("swapping", num_entities=100, num_relations=5,
+                   num_triples=600, num_attributes=6, seed=21,
+                   edge_keep_prob=1.0, noise_edge_frac=0.0)
+    m, _ = run_model("MultiKE", "swapping", epochs=10, kgs=kgs,
+                     dim=24, init="xavier", learning_rate=0.01,
+                     optimizer="SGD", neg_triple_num=2, literal_len=3,
+                     word2vec_dim=24, encoder_active="tanh",
+                     encoder_normalize=True, encoder_epoch=10,
+                     literal_normalize=True, attribute_batch_size=400,
+                     entity_batch_size=200, ITC_learning_rate=0.004,
+                     cv_weight=1, orthogonal_weight=2,
+                     predicate_init_sim=0.9, predicate_soft_sim=0.8,
+                     start_predicate_soft_alignment=5, eval_metric="inner",
+                     eval_norm=True, batch_size=400, start_valid=1000,
+                     eval_freq=1000)
+    h1, mrr = test_hits1(m)
+    assert h1 > 30.0, f"MultiKE hard-tier floor broken (H@1={h1})"
+
+
+def test_kdcoe_hard_tier_floor():
+    # measured 26.0 H@1 (10 epochs)
+    kgs = hard_kgs("mapping", num_entities=120, num_relations=6,
+                   num_triples=800, num_attributes=10, seed=13,
+                   edge_keep_prob=1.0, noise_edge_frac=0.0)
+    m, _ = run_model("KDCoE", "mapping", epochs=10, kgs=kgs,
+                     dim=32, init="unit", learning_rate=0.02,
+                     optimizer="Adagrad", eval_metric="inner",
+                     loss_norm="L2", margin=1.5, alpha=5, new_param=0.1,
+                     max_iter=2, sim_th=0.5, desc_sim_th=0.6,
+                     desc_batch_size=32, default_desc_length=4, wv_dim=16,
+                     ent_l2_norm=True, rel_l2_norm=True, neg_triple_num=1,
+                     neg_sampling="uniform", eval_norm=True,
+                     start_valid=1000, eval_freq=5)
+    h1, mrr = test_hits1(m)
+    assert h1 > 13.0, f"KDCoE hard-tier floor broken (H@1={h1})"
+
+
+def test_gmnn_hard_tier_floor():
+    """GMNN learns above the in-candidate random baseline on the hard
+    tier: measured 19.7 H@1 after 30 epochs vs 10.5 untrained (random =
+    1/cand_size = 10%).  The floor sits well above random rather than at
+    half-measured (half-measured would be indistinguishable from an
+    untrained model here)."""
+    kgs = hard_kgs("mapping", num_entities=150, num_relations=6,
+                   num_triples=1000, train_frac=0.4, seed=17,
+                   num_attributes=0, edge_keep_prob=0.9,
+                   noise_edge_frac=0.05)
+    m, _ = run_model("GMNN", "mapping", epochs=30, kgs=kgs,
+                     cand_size=10, word_embedding_dim=24,
+                     hidden_layer_dim=24, aggregator_dim_first=24,
+                     cosine_MP_dim=6, word_size_max=2,
+                     sample_size_per_layer=2, dev_batch_size=20,
+                     batch_size=60, subgraph_size=10, start_valid=1000,
+                     eval_freq=1000, stop_metric="hits1")
+    h1, mrr = m._rank_eval(m._test_ex, "accurate")
+    assert h1 > 14.0, f"GMNN hard-tier floor broken (H@1={h1})"

@@ -403,3 +403,23 @@ def test_test_both_log_lines_parse(capsys):
     assert parsed["plain"]["hits"][0] == hits1
     assert parsed["csls"]["mrr"] > 0
     assert len(rest) == 60
+
+
+def test_timed_epochs_forces_measured_per_epoch_lines(capsys):
+    """timed_epochs=True drops to 1-epoch device calls: every cost-time
+    line is an individual wall-clock measurement (no within-call-average
+    disclosure line), closing the run_time.py accounting gap
+    (reference run/statistics/run_time.py:4-30)."""
+    from tests.test_models_e2e import run_model
+    run_model("MTransE", "mapping", epochs=6,
+              init="unit", optimizer="Adagrad", eval_metric="inner",
+              ent_l2_norm=True, rel_l2_norm=True, alpha=5, eval_norm=True,
+              epochs_per_call=3, timed_epochs=True)
+    out = capsys.readouterr().out
+    assert "timed_epochs: forcing epochs_per_call 1" in out
+    assert "report the within-call average" not in out
+    # 6 individually printed triple-loss lines with distinct measured times
+    lines = [ln for ln in out.splitlines() if "avg. triple loss" in ln]
+    assert len(lines) == 6
+    times = {ln.rsplit("cost time:", 1)[1] for ln in lines}
+    assert len(times) >= 2, "per-epoch times look averaged, not measured"
