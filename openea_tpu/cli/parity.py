@@ -15,6 +15,10 @@ the harness is built to run the moment a dataset folder exists:
 
 Output: one table row per (config, fold) plus the across-fold average
 diffed against the target band, and a JSON line for scripting.
+
+The full runbook — exact per-target invocations, expected values,
+tolerance bands, word-vector prerequisites, and protocol-fidelity
+checklist — is docs/PARITY_RUNBOOK.md.
 """
 
 from __future__ import annotations

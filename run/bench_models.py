@@ -138,6 +138,44 @@ def main(case):
         print("RESULT AliNet 100K: init %.1f s (2-hop mining + adj), "
               "%.2f s/epoch steady-state (4-epoch probe incl compile "
               "%.1f s)" % (init_s, train_s / 4, train_s))
+    elif case == "gmnn_100k":
+        # capacity probe at the 100K shape (VERDICT r3 #9): memory plan
+        # for the padded [E, N]/[E, N, S] subgraph tensors, subgraph +
+        # candidate-gen timing, one full training epoch through the
+        # scanned step, and the batched test rerank — all with the
+        # published GMNN preset protocol (batch_size=20, cand_size=100)
+        vals = get_preset_dict("gmnn", "15K")
+        vals.update(is_save=False, seed=1, max_epoch=1, start_valid=1000,
+                    eval_freq=1000, stop_metric="hits1", top_k=[1, 5, 10, 50])
+        kgs = pair_100k("mapping")
+        m = get_model("GMNN")()
+        m.set_args(Args(vals))
+        m.set_kgs(kgs)
+        t0 = time.time()
+        m.init()
+        init_s = time.time() - t0
+        sub_bytes = (m._sub_nodes.nbytes + m._sub_fw.nbytes
+                     + m._sub_bw.nbytes)
+        print("MEMORY PLAN: E=%d N=%d S=%d -> subgraph tensors %.1f MB, "
+              "word_em %.1f MB, vocab %d"
+              % (m.E, m.N, m.S, sub_bytes / 2**20,
+                 np.asarray(m.params["word_em"]).nbytes / 2**20,
+                 len(m.vocab)))
+        t0 = time.time()
+        cands = m.generate_candidates(kgs.test_links)
+        cand_s = time.time() - t0
+        ex = m.build_examples(kgs.test_links, cands)
+        t0 = time.time()
+        m.run()                        # 1 epoch incl candidate gen
+        train_s = time.time() - t0
+        t0 = time.time()
+        m._rank_eval(ex, "accurate")
+        rerank_s = time.time() - t0
+        print("RESULT GMNN 100K: init %.1f s (tokens + padded subgraphs), "
+              "test cand-gen %.1f s (%d links x %d), 1 epoch %.1f s "
+              "(%d examples, batch %d), test rerank %.1f s"
+              % (init_s, cand_s, len(kgs.test_links), vals["cand_size"],
+                 train_s, len(m._train_ex), vals["batch_size"], rerank_s))
     elif case == "gmnn_rerank":
         # test-time rerank timing at a 15K-shaped candidate set with the
         # REFERENCE's dev_batch_size=20 (gmnn.py:2419-2520): the batched

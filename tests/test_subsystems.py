@@ -423,3 +423,60 @@ def test_timed_epochs_forces_measured_per_epoch_lines(capsys):
     assert len(lines) == 6
     times = {ln.rsplit("cost time:", 1)[1] for ln in lines}
     assert len(times) >= 2, "per-epoch times look averaged, not measured"
+
+
+def test_tutorial_rdf_parsing(tmp_path):
+    """Stdlib RDF/XML parsing for the ontology-matching lab (reference
+    data_input.py rdflib parser + test.py align_parser), on an inline
+    OAEI-shaped fixture: typed elements, rdf:Description+rdf:type
+    spelling, rdf:ID resolution, labels, namespace filtering."""
+    onto = tmp_path / "onto.rdf"
+    onto.write_text("""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xml:base="http://example.org/onto.rdf">
+  <owl:Class rdf:about="#Person"><rdfs:label>person</rdfs:label></owl:Class>
+  <owl:Class rdf:ID="Place"/>
+  <owl:Class rdf:about="http://other.org/x#Alien"/>
+  <rdf:Description rdf:about="#name">
+    <rdf:type rdf:resource="http://www.w3.org/2002/07/owl#DatatypeProperty"/>
+    <rdfs:label>name</rdfs:label>
+  </rdf:Description>
+  <owl:ObjectProperty rdf:about="#knows"/>
+</rdf:RDF>""")
+    from openea_tpu.tutorial.rdf import (RdfParser, grade_against_refalign,
+                                         parse_alignment)
+    p = RdfParser(str(onto), "example.org", verbose=False)
+    assert p.class_uris == ["http://example.org/onto.rdf#Person",
+                            "http://example.org/onto.rdf#Place"]
+    assert p.class_labels == ["person", None]       # other.org filtered out
+    assert p.attribute_uris == ["http://example.org/onto.rdf#name"]
+    assert p.relation_uris == ["http://example.org/onto.rdf#knows"]
+    assert p.names()["http://example.org/onto.rdf#Place"] == "Place"
+
+    align = tmp_path / "refalign.rdf"
+    align.write_text("""<?xml version='1.0'?>
+<rdf:RDF xmlns='http://knowledgeweb.semanticweb.org/heterogeneity/alignment'
+         xmlns:rdf='http://www.w3.org/1999/02/22-rdf-syntax-ns#'>
+<Alignment>
+  <map><Cell>
+    <entity1 rdf:resource='http://a#x'/>
+    <entity2 rdf:resource='http://b#y'/>
+    <measure rdf:datatype='http://www.w3.org/2001/XMLSchema#float'>1.0</measure>
+    <relation>=</relation>
+  </Cell></map>
+  <map><Cell>
+    <entity1 rdf:resource='http://a#z'/>
+    <entity2 rdf:resource='http://b#w'/>
+    <measure rdf:datatype='http://www.w3.org/2001/XMLSchema#float'>1.0</measure>
+    <relation>=</relation>
+  </Cell></map>
+</Alignment>
+</rdf:RDF>""")
+    gold = parse_alignment(str(align))
+    assert gold == [("http://a#x", "http://b#y", "1.0", "="),
+                    ("http://a#z", "http://b#w", "1.0", "=")]
+    p_, r_, f1 = grade_against_refalign(
+        [("http://a#x", "http://b#y", "1.0", "=")], str(align))
+    assert (p_, r_) == (1.0, 0.5)
