@@ -96,37 +96,19 @@ class MTransEV2(BasicModel):
         self.map_opt_state = self.map_opt.init(self.params)
         self.dis_opt = get_optimizer(a.optimizer, a.learning_rate)
         self.dis_opt_state = self.dis_opt.init(self.params)
-        self._map_osh = self._dis_osh = None
-        if self.mesh is not None:
-            # multi-chip (reference dbp2.0/mtranse.py:25-38 pins one GPU):
-            # the three objectives are all TransE+mapping family — triple
-            # epochs ride the base sharded path (super().init() already
-            # row-sharded the tables); the marginal-mapping and distance-
-            # margin epochs get their own sharded optimizer states here
-            # and mesh-aware jits below
-            from openea_tpu.parallel.train_step import _opt_state_shardings
-            self._map_osh = _opt_state_shardings(
-                self.mesh, self.map_opt_state, self.params, self._pshard)
-            self.map_opt_state = jax.device_put(self.map_opt_state,
-                                                self._map_osh)
-            self._dis_osh = _opt_state_shardings(
-                self.mesh, self.dis_opt_state, self.params, self._pshard)
-            self.dis_opt_state = jax.device_put(self.dis_opt_state,
-                                                self._dis_osh)
+        # multi-chip (reference dbp2.0/mtranse.py:25-38 pins one GPU):
+        # the three objectives are all TransE+mapping family — triple
+        # epochs ride the base sharded path (super().init() already
+        # row-sharded the tables); the marginal-mapping and distance-
+        # margin epochs get their own sharded optimizer states and
+        # mesh-aware jits (base._shard_opt_state/_jit_custom)
+        self.map_opt_state, self._map_osh = self._shard_opt_state(
+            self.map_opt_state)
+        self.dis_opt_state, self._dis_osh = self._shard_opt_state(
+            self.dis_opt_state)
         self._np_rng = np.random.RandomState(a.seed)
         self._map_epoch_c = None
         self._dis_epoch_c = None
-
-    def _jit_custom_epoch(self, fn, n_extra: int, osh):
-        """jit (params, opt_state, *data) -> (params, opt_state, loss)
-        with mesh shardings when mesh training is on."""
-        if self.mesh is None:
-            return jax.jit(fn, donate_argnums=(0, 1))
-        r = self._repl
-        return jax.jit(fn,
-                       in_shardings=(self._pshard, osh) + (r,) * n_extra,
-                       out_shardings=(self._pshard, osh, r),
-                       donate_argnums=(0, 1))
 
     def _triple_loss(self, params, pos, neg, pos_w, neg_w, key=None):
         phs, prs, pts = self._lookup(params, pos)
@@ -183,7 +165,7 @@ class MTransEV2(BasicModel):
                 body, (params, opt_state), (lbs, r1s, r2s))
             return params, opt_state, jnp.sum(losses)
 
-        return self._jit_custom_epoch(epoch, 3, self._map_osh)
+        return self._jit_custom(epoch, 3, self._map_osh)
 
     def launch_mapping_training_1epo(self, epoch: int):
         """All mapping steps in ONE jitted scan: the per-step float(loss)
@@ -273,7 +255,7 @@ class MTransEV2(BasicModel):
                 body, (params, opt_state), (ents, tgts))
             return params, opt_state, jnp.sum(losses)
 
-        return self._jit_custom_epoch(epoch, 2, self._dis_osh)
+        return self._jit_custom(epoch, 2, self._dis_osh)
 
     def launch_distance_margin_training_1epo(self, epoch: int):
         """Soft-NN targets resolved ONCE per epoch for every training

@@ -101,11 +101,25 @@ class Attr2Vec:
         self.opt = get_optimizer("Adagrad", self.args.learning_rate)
         self.opt_state = self.opt.init(self.params)
         self.key = key
+        # multi-chip: data-parallel skip-gram — the attribute tables are
+        # small, so params replicate and each scanned NCE batch shards
+        # over 'data' (grad psum over ICI); reference runs this
+        # single-GPU (approaches/attr2vec.py:106-124)
+        self.mesh = None
+        if self.args.get("use_mesh") and len(jax.devices()) > 1:
+            from jax.sharding import Mesh
+            devs = jax.devices()
+            n = int(self.args.get("mesh_devices") or 0) or len(devs)
+            self.mesh = Mesh(np.asarray(devs[:n]), ("data",))
+            print("mesh training enabled: {} devices, mesh {} "
+                  "(data-parallel skip-gram)".format(
+                      self.mesh.size, dict(self.mesh.shape)))
 
     def _make_epoch_fn(self, steps: int, bsz: int):
         opt = self.opt
         n_attr = self.n_attr
         num_neg = self.num_sampled_negs
+        mesh = self.mesh
 
         def epoch(params, opt_state, key, pairs):
             kperm, kscan = jax.random.split(key)
@@ -118,6 +132,10 @@ class Attr2Vec:
                 params, opt_state = carry
                 bidx, sk = xs
                 batch = pairs[bidx]
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    batch = jax.lax.with_sharding_constraint(
+                        batch, NamedSharding(mesh, P("data", None)))
 
                 def loss_fn(p):
                     inputs = l2_normalize(p["embeds"])[batch[:, 0]]

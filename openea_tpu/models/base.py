@@ -162,6 +162,31 @@ class BasicModel:
         return jax.jit(fn, in_shardings=tuple(ins),
                        out_shardings=tuple(outs), donate_argnums=donate)
 
+    # custom-objective mesh helpers: models with their own optimizers /
+    # epoch fns (MTransEV2, IMUSE, Attr2Vec, KDCoE, MultiKE, GMNN) shard
+    # their states and jits through these instead of re-deriving the
+    # base-path sharding logic
+    def _shard_opt_state(self, opt_state):
+        """(device_put state, shardings) for a custom optimizer state over
+        self.params; (state, None) when mesh training is off."""
+        if self.mesh is None:
+            return opt_state, None
+        from openea_tpu.parallel.train_step import _opt_state_shardings
+        osh = _opt_state_shardings(self.mesh, opt_state, self.params,
+                                   self._pshard)
+        return jax.device_put(opt_state, osh), osh
+
+    def _jit_custom(self, fn, n_extra: int, osh, n_out_extra: int = 1):
+        """jit (params, opt_state, *data) -> (params, opt_state,
+        *outputs) with mesh shardings when mesh training is on."""
+        if self.mesh is None:
+            return jax.jit(fn, donate_argnums=(0, 1))
+        r = self._repl
+        return jax.jit(fn,
+                       in_shardings=(self._pshard, osh) + (r,) * n_extra,
+                       out_shardings=(self._pshard, osh) + (r,) * n_out_extra,
+                       donate_argnums=(0, 1))
+
     def check_args(self):
         """Per-model hyperparameter contract (reference-style asserts)."""
 

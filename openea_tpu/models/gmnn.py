@@ -172,6 +172,19 @@ class GMNN(BasicModel):
             nv[e] = word_em[tok_mat[e, :]].sum(axis=0)
         self._name_vecs = nv
 
+        # multi-chip: data-parallel matching batches — the params (word
+        # table + matcher weights) are small and replicate; each scanned
+        # (e1, e2, label) batch shards over 'data' with grads psum'd over
+        # ICI (reference gmnn.py trains single-GPU)
+        if a.get("use_mesh") and len(jax.devices()) > 1:
+            from jax.sharding import Mesh
+            devs = jax.devices()
+            n_dev = int(a.get("mesh_devices") or 0) or len(devs)
+            self.mesh = Mesh(np.asarray(devs[:n_dev]), ("data",))
+            print("mesh training enabled: {} devices, mesh {} "
+                  "(data-parallel matching batches)".format(
+                      self.mesh.size, dict(self.mesh.shape)))
+
     # ------------------------------------------------------------------ #
     # candidate generation
     # ------------------------------------------------------------------ #
@@ -302,6 +315,12 @@ class GMNN(BasicModel):
 
     def _step_core(self, params, opt_state, e1, e2, labels):
         opt = self.opt
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard = NamedSharding(self.mesh, P("data"))
+            e1 = jax.lax.with_sharding_constraint(e1, shard)
+            e2 = jax.lax.with_sharding_constraint(e2, shard)
+            labels = jax.lax.with_sharding_constraint(labels, shard)
 
         def loss_fn(p):
             logits = self._logits(p, e1, e2)
@@ -397,6 +416,12 @@ class GMNN(BasicModel):
             self._step_c = self._make_epoch_fn()
         bsz = int(a.batch_size)
         n_steps = max(1, len(self._train_ex) // bsz)
+        # bound each device call: at 100K scale an epoch is ~85K scanned
+        # steps (train links x cand_size / batch 20) and a single
+        # multi-minute XLA call crashed the TPU worker over the tunnel —
+        # slice the scan into <= scan_slice-step calls (the loss fetch
+        # stays deferred to the last slice, so round trips stay O(1))
+        slice_steps = max(1, int(a.get("scan_slice", 8192) or 8192))
         rng = np.random.RandomState(a.seed)
         for i in range(1, a.max_epoch + 1):
             start = time.time()
@@ -406,9 +431,13 @@ class GMNN(BasicModel):
             order = np.resize(rng.permutation(len(self._train_ex)),
                               n_steps * bsz)
             ex = self._train_ex[order].reshape(n_steps, bsz, 3)
-            self.params, self.opt_state, loss_sum = self._step_c(
-                self.params, self.opt_state, jnp.asarray(ex))
-            loss_sum = float(loss_sum)
+            losses = []
+            for s in range(0, n_steps, slice_steps):
+                self.params, self.opt_state, l = self._step_c(
+                    self.params, self.opt_state,
+                    jnp.asarray(ex[s:s + slice_steps]))
+                losses.append(l)
+            loss_sum = sum(float(l) for l in losses)
             print("epoch {}, avg. matching loss: {:.4f}, cost time: {:.4f}s"
                   .format(i, loss_sum, time.time() - start))
             if i >= a.start_valid and i % a.eval_freq == 0:

@@ -233,6 +233,10 @@ class IMUSE(BasicModel):
         super().init()
         self.align_opt = get_optimizer(self.args.optimizer, self.args.learning_rate)
         self.align_opt_state = self.align_opt.init(self.params)
+        # multi-chip: triple epochs ride the base sharded path; the
+        # aligned-pair pull loss gets its own sharded optimizer state
+        self.align_opt_state, self._align_osh = self._shard_opt_state(
+            self.align_opt_state)
         self._align_step = None
 
     def _make_align_step(self):
@@ -252,7 +256,7 @@ class IMUSE(BasicModel):
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return self._jit_custom(step, 1, self._align_osh)
 
     def launch_align_training_1epo(self, epoch: int):
         if not self.aligned_ent_pair_set:

@@ -159,6 +159,13 @@ class KDCoE(BasicModel):
         self.desc_opt_state = self.desc_opt.init(self.desc_params)
         self.new_map_opt = get_optimizer(a.optimizer, a.learning_rate)
         self.new_map_opt_state = self.new_map_opt.init(self.params)
+        # multi-chip: rel+mapping epochs ride the base sharded path; the
+        # new-pair mapping objective gets a sharded optimizer state, and
+        # the desc-encoder batches shard over 'data' (desc params are a
+        # tiny replicated pytree; in-batch negatives d1 @ d2^T become a
+        # local encode + all_gather under GSPMD)
+        self.new_map_opt_state, self._new_map_osh = self._shard_opt_state(
+            self.new_map_opt_state)
         self._desc_step_c = None
         self._desc_bsz = None
         self._encode_c = None
@@ -198,8 +205,16 @@ class KDCoE(BasicModel):
         np.fill_diagonal(indicator, 1.0)
         indicator = jnp.asarray(indicator)
         opt = self.desc_opt
+        mesh = self.mesh
 
         def step(dp, opt_state, ids1, ids2):
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                ids1 = jax.lax.with_sharding_constraint(
+                    ids1, NamedSharding(mesh, P("data")))
+                ids2 = jax.lax.with_sharding_constraint(
+                    ids2, NamedSharding(mesh, P("data")))
+
             def loss_fn(p):
                 word_em_c = jnp.asarray(self._word_em)
                 e_desc_c = jnp.asarray(self._e_desc)
@@ -270,7 +285,8 @@ class KDCoE(BasicModel):
                 updates, opt_state = opt.update(grads, opt_state, params)
                 return optax.apply_updates(params, updates), opt_state, loss
 
-            self._new_map_step = jax.jit(step, donate_argnums=(0, 1))
+            self._new_map_step = self._jit_custom(step, 2,
+                                                  self._new_map_osh)
 
         pairs = jnp.asarray(pairs_np)
         self.params, self.new_map_opt_state, loss = self._new_map_step(
@@ -392,6 +408,8 @@ class KDCoE_wo_desc(KDCoE):
         a = self.args
         self.new_map_opt = get_optimizer(a.optimizer, a.learning_rate)
         self.new_map_opt_state = self.new_map_opt.init(self.params)
+        self.new_map_opt_state, self._new_map_osh = self._shard_opt_state(
+            self.new_map_opt_state)
 
     def run(self):
         t = time.time()

@@ -170,6 +170,47 @@ class MultiKE(BasicModel):
         memb = np.zeros(max(1, self.kgs.max_entities_id), np.int8)
         memb[np.asarray(self.kgs.kg2.entities)] = 1
         self._memb = memb
+        self._osh = {}
+        if a.get("use_mesh") and len(jax.devices()) > 1:
+            self._setup_mesh_multike()
+
+    # multi-chip: the four entity/relation/attribute tables row-shard
+    # over 'model' (they are the only state that grows with KG size); the
+    # view mappings / CNN weights replicate; each of the 8 per-view
+    # optimizer states is sharded to mirror its parameters.  The view
+    # epochs all flow through _run_epoch, which jits with these
+    # shardings.  Reference runs single-GPU (approaches/multi_ke.py).
+    def _setup_mesh_multike(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from openea_tpu.parallel.mesh import make_mesh, replicated
+        from openea_tpu.parallel.train_step import _opt_state_shardings
+        n = int(self.args.get("mesh_devices") or 0) or None
+        self.mesh = make_mesh(n)
+        tp = dict(self.mesh.shape).get("model", 1)
+        sharded_tables = ("rv_ent_embeds", "av_ent_embeds", "ent_embeds",
+                          "rel_embeds", "attr_embeds")
+        self._pshard = {}
+        for name, v in self.params.items():
+            if name in sharded_tables:
+                pad = (-v.shape[0]) % tp
+                if pad:
+                    self.params[name] = jnp.concatenate(
+                        [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
+                self._pshard[name] = NamedSharding(self.mesh,
+                                                   P("model", None))
+            else:
+                self._pshard[name] = NamedSharding(self.mesh, P())
+        self._repl = replicated(self.mesh)
+        self.params = jax.device_put(self.params, self._pshard)
+        for key, (opt, _) in self._opts.items():
+            st = opt.init(self.params)
+            osh = _opt_state_shardings(self.mesh, st, self.params,
+                                       self._pshard)
+            self._opts[key] = (opt, jax.device_put(st, osh))
+            self._osh[key] = osh
+        print("mesh training enabled: {} devices, mesh {} (row-sharded "
+              "view tables)".format(self.mesh.size, dict(self.mesh.shape)))
 
     def _t(self, params, name):
         # wo_attr ablation: the final view IS the relation view (the
@@ -245,7 +286,8 @@ class MultiKE(BasicModel):
                     step, (params, opt_state), (idx, keys))
                 return params, opt_state, jnp.sum(losses)
 
-            self._fns[cache_key] = jax.jit(epoch, donate_argnums=(0, 1))
+            self._fns[cache_key] = self._jit_custom(
+                epoch, 3, self._osh.get(fn_name))
         self.key, k = jax.random.split(self.key)
         w = np.ones(n, np.float32)
         self.params, opt_state, loss = self._fns[cache_key](
