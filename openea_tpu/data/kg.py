@@ -77,13 +77,21 @@ class KG:
         for h, r, t in self.local_relation_triples_set:
             self.rt_dict.setdefault(h, set()).add((r, t))
             self.hr_dict.setdefault(t, set()).add((h, r))
+        # CANONICAL iteration order for attribute triples: the set holds
+        # string values, so raw set iteration follows PYTHONHASHSEED and
+        # leaks per-process dict insertion order into every consumer
+        # (caught as cross-process metric jitter in GCN-Align's
+        # attribute-incidence build — same bug class as round 3's
+        # rel_ht_table fix)
+        sorted_attr = sorted(self.local_attribute_triples_set,
+                             key=lambda t: (t[0], t[1], str(t[2])))
         self.av_dict: Dict[int, Set[Tuple[int, str]]] = {}
-        for e, a, v in self.local_attribute_triples_set:
+        for e, a, v in sorted_attr:
             self.av_dict.setdefault(e, set()).add((a, v))
         # ent -> attribute-id set / head -> relation-id set
         # (reference kg.py:115-129 parse_relations/parse_attributes)
         self.entity_attributes_dict: Dict[int, Set[int]] = {}
-        for e, a, _ in self.local_attribute_triples_set:
+        for e, a, _ in sorted_attr:
             self.entity_attributes_dict.setdefault(e, set()).add(a)
         self.entity_relations_dict: Dict[int, Set[int]] = {}
         for h, r, _ in self.local_relation_triples_set:
@@ -124,13 +132,19 @@ class KG:
             return list(self.local_relation_triples_set)
         return [tuple(t) for t in self.local_triples.tolist()]
 
+    # sorted, not list(set): attribute triples hold string values, so set
+    # iteration order follows PYTHONHASHSEED and would leak per-process
+    # nondeterminism into every consumer (attr vocab ids, n-gram batches,
+    # predicate alignment ...)
     @property
     def attribute_triples_list(self):
-        return list(self.attribute_triples_set)
+        return sorted(self.attribute_triples_set,
+                      key=lambda t: (t[0], t[1], str(t[2])))
 
     @property
     def local_attribute_triples_list(self):
-        return list(self.local_attribute_triples_set)
+        return sorted(self.local_attribute_triples_set,
+                      key=lambda t: (t[0], t[1], str(t[2])))
 
     def set_id_dict(self, ent_ids, rel_ids, attr_ids) -> None:
         self.entities_id_dict = ent_ids

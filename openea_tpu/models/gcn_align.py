@@ -46,7 +46,9 @@ def load_attr_matrix(ent_num: int, kgs):
     for _, attrs in ead.items():
         for a in attrs:
             cnt[a] = cnt.get(a, 0) + 1
-    fre = sorted(cnt, key=cnt.get, reverse=True)
+    # count ties break on attribute id (not dict insertion order) so the
+    # attr->column assignment is identical across processes
+    fre = sorted(cnt, key=lambda x: (-cnt[x], x))
     num = int(0.7 * len(cnt))
     attr2id = {a: i for i, a in enumerate(fre[:num])}
     rows, cols = [], []

@@ -70,10 +70,13 @@ def get_aligned_attr_pair_by_name_similarity(kgs, sim_th: float, top_k: int = 10
 
 
 def _first_value_dict(attr_triples):
-    """(e, a) -> first value seen (reference filter_by_aligned_attributes)."""
+    """(e, a) -> first value seen (reference filter_by_aligned_attributes).
+    Canonical iteration: string-valued triple sets follow PYTHONHASHSEED,
+    so 'first seen' must not depend on set order."""
     eav = {}
     ea_attrs: Dict[int, Set[int]] = {}
-    for e, a, v in attr_triples:
+    for e, a, v in sorted(attr_triples,
+                          key=lambda t: (t[0], t[1], str(t[2]))):
         if (e, a) not in eav:
             eav[(e, a)] = str(v)
             ea_attrs.setdefault(e, set()).add(a)

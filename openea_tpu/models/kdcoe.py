@@ -57,8 +57,11 @@ def descriptions_input(kgs, word_embed_path: Optional[str], wv_dim: int,
     desc_attr_ids = {aid for aid, a in id_attr.items() if "escription" in a}
 
     texts: Dict[int, str] = {}
-    for h, a, v in (kgs.kg1.local_attribute_triples_set
-                    | kgs.kg2.local_attribute_triples_set):
+    # sorted union: 'first description wins' must be canonical, not
+    # PYTHONHASHSEED set order
+    for h, a, v in sorted(kgs.kg1.local_attribute_triples_set
+                          | kgs.kg2.local_attribute_triples_set,
+                          key=lambda t: (t[0], t[1], str(t[2]))):
         if a in desc_attr_ids and h not in texts:
             texts[h] = str(v)
     for e, _, name in get_local_name_triples(kgs, training_data):

@@ -59,15 +59,18 @@ def add_weights(predicate_links, triples1, triples2, min_w_before):
 
 
 def get_local_name(items):
-    return {i: i.split("/")[-1].replace("_", " ") for i in items}
+    # sorted: string-set iteration follows PYTHONHASHSEED; canonical
+    # insertion keeps the tie-break order of best_matches per-process
+    # stable
+    return {i: i.split("/")[-1].replace("_", " ") for i in sorted(items)}
 
 
 def init_predicate_alignment(name_dict_1, name_dict_2, predicate_init_sim):
     def best_matches(d1, d2):
         match, sims = {}, {}
-        for p1, n1 in d1.items():
+        for p1, n1 in sorted(d1.items()):
             best, best_sim = "", 0.0
-            for p2, n2 in d2.items():
+            for p2, n2 in sorted(d2.items()):
                 s = _ratio(n1, n2)
                 if s > best_sim:
                     best, best_sim = p2, s

@@ -480,3 +480,46 @@ def test_tutorial_rdf_parsing(tmp_path):
     p_, r_, f1 = grade_against_refalign(
         [("http://a#x", "http://b#y", "1.0", "=")], str(align))
     assert (p_, r_) == (1.0, 0.5)
+
+
+def test_attr_pipelines_deterministic_across_hash_seeds():
+    """Attribute triples hold string values, so any raw set/dict-order
+    dependence leaks PYTHONHASHSEED into training (caught round 4 as
+    cross-process metric jitter in GCN-Align's attribute incidence).
+    The canonical-order fixes must hold across different hash seeds."""
+    import os
+    import subprocess
+    import sys
+    code = r"""
+import hashlib, sys
+import numpy as np
+import jax; jax.config.update("jax_platforms", "cpu")
+from openea_tpu.data.synthetic import synthesize_kg_pair
+from openea_tpu.models.gcn_align import load_attr_matrix
+from openea_tpu.models.imuse import _first_value_dict
+from openea_tpu.models.predicate_align import get_local_name
+kgs = synthesize_kg_pair(num_entities=150, num_relations=6,
+                         num_triples=900, mode="mapping", train_frac=0.3,
+                         num_attributes=25, attrs_per_entity=4, seed=3)
+def h(x): return hashlib.md5(np.ascontiguousarray(x).tobytes()).hexdigest()
+r, c, v, n = load_attr_matrix(kgs.max_entities_id, kgs)
+print(h(r), h(c), n)
+ea, eav = _first_value_dict(kgs.kg1.attribute_triples_set)
+print(hashlib.md5(str(sorted(eav.items())).encode()).hexdigest())
+print(hashlib.md5(str(kgs.kg1.attribute_triples_list[:50]).encode()).hexdigest())
+print(hashlib.md5(str(sorted(get_local_name(
+    set(kgs.kg1.attributes_id_dict)).items())).encode()).hexdigest())
+print(hashlib.md5(str({k: sorted(s) for k, s in sorted(
+    kgs.kg1.entity_attributes_dict.items())}).encode()).hexdigest())
+"""
+    outs = []
+    for seed in ("0", "31337"):
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        p = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=240,
+                           cwd=os.path.dirname(os.path.dirname(
+                               os.path.abspath(__file__))))
+        assert p.returncode == 0, p.stderr[-2000:]
+        outs.append(p.stdout)
+    assert outs[0] == outs[1], "attribute pipeline is PYTHONHASHSEED-" \
+        "dependent:\n%s\nvs\n%s" % (outs[0], outs[1])
