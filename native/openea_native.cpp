@@ -244,6 +244,121 @@ int64_t* openea_mine2hop_unique(const int64_t* a_key, const int64_t* base,
   return buf;
 }
 
+// ---- stable counting argsort (int32 keys in [0, n_keys)) ------------------
+//
+// numpy's argsort over 80M random int32 keys costs ~20 s (index writes are
+// the bill); with a bounded key domain a parallel stable counting sort is
+// two passes: per-block histograms, a global (block, key) prefix, and a
+// per-block index scatter — stability holds because block-major order is
+// original order.  Fills the caller-allocated int64 out[n].
+int32_t openea_counting_argsort(const int32_t* keys, int64_t n,
+                                int64_t n_keys, int64_t* out) {
+  if (n <= 0 || n_keys <= 0) return 0;
+  int nt = static_cast<int>(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  if (nt > 8) nt = 8;
+  if (n < static_cast<int64_t>(nt) * 262144) nt = 1;
+  std::vector<std::vector<int64_t>> hist(nt);
+  std::vector<int64_t> b0(nt + 1);
+  for (int t = 0; t <= nt; ++t) b0[t] = n * t / nt;
+  {
+    std::vector<std::thread> th;
+    for (int t = 0; t < nt; ++t)
+      th.emplace_back([&, t]() {
+        auto& h = hist[t];
+        h.assign(static_cast<size_t>(n_keys), 0);
+        for (int64_t i = b0[t]; i < b0[t + 1]; ++i) {
+          const int64_t k = keys[i];
+          if (k < 0 || k >= n_keys) h[0] = -1;  // flag bad key
+          else ++h[k];
+        }
+      });
+    for (auto& x : th) x.join();
+  }
+  for (int t = 0; t < nt; ++t)
+    if (!hist[t].empty() && hist[t][0] == -1) return -1;
+  // (key, block)-major exclusive prefix -> per-block write starts
+  int64_t acc = 0;
+  for (int64_t k = 0; k < n_keys; ++k)
+    for (int t = 0; t < nt; ++t) {
+      const int64_t c = hist[t][k];
+      hist[t][k] = acc;
+      acc += c;
+    }
+  {
+    std::vector<std::thread> th;
+    for (int t = 0; t < nt; ++t)
+      th.emplace_back([&, t]() {
+        auto& pos = hist[t];
+        for (int64_t i = b0[t]; i < b0[t + 1]; ++i)
+          out[pos[keys[i]]++] = i;
+      });
+    for (auto& x : th) x.join();
+  }
+  return 0;
+}
+
+// ---- parallel sort + unique over int64 keys -------------------------------
+//
+// np.unique over the 80M packed edge keys of the 100K 2-hop adjacency is
+// a single-threaded ~20 s sort; this reuses the mine2hop merge pattern:
+// per-thread std::sort, pairwise parallel merges, one unique pass.
+// Returns a malloc'd buffer (openea_buf_free); *out_n = unique count.
+int64_t* openea_sort_unique_i64(const int64_t* keys, int64_t n,
+                                int64_t* out_n) {
+  if (n <= 0) {
+    *out_n = 0;
+    return static_cast<int64_t*>(malloc(sizeof(int64_t)));
+  }
+  int nt = static_cast<int>(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  if (nt > 8) nt = 8;
+  if (n < static_cast<int64_t>(nt) * 65536) nt = 1;
+  auto* buf = static_cast<int64_t*>(
+      malloc(sizeof(int64_t) * static_cast<size_t>(n)));
+  auto* buf2 = static_cast<int64_t*>(
+      malloc(sizeof(int64_t) * static_cast<size_t>(n)));
+  if (!buf || !buf2) {
+    free(buf);
+    free(buf2);
+    *out_n = -1;
+    return nullptr;
+  }
+  std::vector<int64_t> b0(nt + 1);
+  for (int t = 0; t <= nt; ++t) b0[t] = n * t / nt;
+  {
+    std::vector<std::thread> th;
+    for (int t = 0; t < nt; ++t)
+      th.emplace_back([&, t]() {
+        std::memcpy(buf + b0[t], keys + b0[t],
+                    sizeof(int64_t) * static_cast<size_t>(b0[t + 1] - b0[t]));
+        std::sort(buf + b0[t], buf + b0[t + 1]);
+      });
+    for (auto& x : th) x.join();
+  }
+  std::vector<int64_t> bnd(b0.begin(), b0.end());
+  int runs = nt;
+  while (runs > 1) {
+    std::vector<std::thread> th;
+    std::vector<int64_t> nb{0};
+    for (int rp = 0; rp < runs; rp += 2) {
+      const int64_t lo = bnd[rp], mid = bnd[rp + 1],
+                    hi = (rp + 1 < runs) ? bnd[rp + 2] : mid;
+      th.emplace_back([buf, buf2, lo, mid, hi]() {
+        std::merge(buf + lo, buf + mid, buf + mid, buf + hi, buf2 + lo);
+      });
+      nb.push_back(hi);
+    }
+    for (auto& x : th) x.join();
+    std::swap(buf, buf2);
+    bnd = nb;
+    runs = static_cast<int>(bnd.size()) - 1;
+  }
+  *out_n = std::unique(buf, buf + n) - buf;
+  free(buf2);
+  return buf;
+}
+
 void openea_buf_free(void* p) { free(p); }
 
 }  // extern "C"

@@ -73,6 +73,17 @@ def get_lib():
             lib.openea_buf_free.argtypes = [ctypes.c_void_p]
         except AttributeError:
             pass                      # stale .so without the mining symbols
+        try:
+            p32 = ctypes.POINTER(ctypes.c_int32)
+            p64 = ctypes.POINTER(ctypes.c_int64)
+            lib.openea_counting_argsort.restype = ctypes.c_int32
+            lib.openea_counting_argsort.argtypes = [
+                p32, ctypes.c_int64, ctypes.c_int64, p64]
+            lib.openea_sort_unique_i64.restype = p64
+            lib.openea_sort_unique_i64.argtypes = [
+                p64, ctypes.c_int64, p64]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
@@ -97,6 +108,45 @@ def mine2hop_unique(a_key: np.ndarray, base: np.ndarray, c: np.ndarray,
         c.ctypes.data_as(p64), ctypes.c_int64(len(a_key)),
         b_key.ctypes.data_as(p64), ctypes.c_int64(int(stride)),
         ctypes.byref(out_n))
+    if not ptr or out_n.value < 0:
+        return None
+    try:
+        uq = np.ctypeslib.as_array(ptr, shape=(out_n.value,)).copy()
+    finally:
+        lib.openea_buf_free(ptr)
+    return uq
+
+
+def counting_argsort(keys: np.ndarray, n_keys: int) -> Optional[np.ndarray]:
+    """Stable argsort of int32 keys in [0, n_keys) via the native parallel
+    counting sort — ~2 passes vs np.argsort's ~20 s at 80M random keys
+    (index-write bound).  Returns None when the native library (or the
+    symbol) is unavailable or a key is out of range."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "openea_counting_argsort"):
+        return None
+    keys = np.ascontiguousarray(keys, np.int32)
+    out = np.empty(len(keys), np.int64)
+    rc = lib.openea_counting_argsort(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(keys)), ctypes.c_int64(int(n_keys)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out if rc == 0 else None
+
+
+def sort_unique_i64(keys: np.ndarray) -> Optional[np.ndarray]:
+    """Sorted unique of an int64 array via the native parallel sort
+    (np.unique is a single-threaded ~20 s sort at the 80M-key 100K
+    2-hop adjacency shape).  None when the native library is absent."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "openea_sort_unique_i64"):
+        return None
+    keys = np.ascontiguousarray(keys, np.int64)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    out_n = ctypes.c_int64(0)
+    ptr = lib.openea_sort_unique_i64(keys.ctypes.data_as(p64),
+                                     ctypes.c_int64(len(keys)),
+                                     ctypes.byref(out_n))
     if not ptr or out_n.value < 0:
         return None
     try:

@@ -199,8 +199,8 @@ def generate_2hop_pairs(triples, linked_ents=None,
     # the edges costs log2(T) probes x 10^7+ pairs)
     lo = np.searchsorted(pair_key, edge_keys, side="left")
     hi = np.searchsorted(pair_key, edge_keys, side="right")
-    d = np.zeros(len(pair_key) + 1, np.int64)
-    np.add.at(d, lo, 1)
+    d = np.zeros(len(pair_key) + 1, np.int32)   # int32: half the cumsum
+    np.add.at(d, lo, 1)                         # traffic at 10^8 rows
     np.add.at(d, hi, -1)
     keep = np.cumsum(d[:-1]) == 0           # not already 1-hop
     pair_key, pat_key = pair_key[keep], pat_key[keep]
@@ -242,9 +242,19 @@ def generate_2hop_pairs(triples, linked_ents=None,
     if max_pairs and len(keys) > max_pairs:
         # graphs whose relation patterns are near-uniform defeat the
         # reference's top-5-pattern pruning (real KGs concentrate there);
-        # subsample so the 2-hop adjacency stays trainable
-        keys = np.sort(np.random.RandomState(seed).choice(
-            keys, max_pairs, replace=False))
+        # subsample so the 2-hop adjacency stays trainable.  Uniform
+        # without-replacement sample via a random-score threshold:
+        # rng.choice(replace=False) permutes the FULL key array
+        # (~10-20 s at 10^8 keys); partitioning the scores costs one
+        # pass and keeps `keys` sorted, so the final sort disappears too
+        u = np.random.RandomState(seed).random(len(keys))
+        kth = np.partition(u, max_pairs)[max_pairs]
+        sel = u < kth
+        deficit = max_pairs - int(sel.sum())     # float ties (rare)
+        if deficit > 0:
+            ties = np.nonzero(u == kth)[0]
+            sel[ties[:deficit]] = True
+        keys = keys[sel]
     return np.stack([keys >> eb, keys & ((1 << eb) - 1)], axis=1)
 
 

@@ -225,10 +225,20 @@ def undirected_normalized_adj(num_ents: int,
            else np.zeros((0, 3), np.int64))
     if len(tri):
         h, t = tri[:, 0], tri[:, 2]
-        keys = np.unique(np.concatenate([h * num_ents + t,
-                                         t * num_ents + h]))
-        row = (keys // num_ents).astype(np.int32)
-        col = (keys % num_ents).astype(np.int32)
+        # power-of-two packing: decode is shift/mask, not divmod — int64
+        # division over the 80M-edge 100K 2-hop adjacency costs seconds
+        b = max(int(np.ceil(np.log2(max(num_ents, 2)))), 1)
+        both = np.concatenate([(h << b) | t, (t << b) | h])
+        keys = None
+        if len(both) >= (1 << 22):
+            # native parallel sort+unique (np.unique's sort is the
+            # single-threaded bulk of this builder at 100K scale)
+            from openea_tpu.data.native import sort_unique_i64
+            keys = sort_unique_i64(both)
+        if keys is None:
+            keys = np.unique(both)
+        row = (keys >> b).astype(np.int32)
+        col = (keys & ((1 << b) - 1)).astype(np.int32)
     else:
         row = col = np.zeros(0, np.int32)
     val = np.ones(len(row), np.float32)

@@ -230,10 +230,13 @@ def inner_rank_both(embed1: jax.Array, embed2: jax.Array,
                else jnp.float32)
     if not tm:
         # e1/e2 tiles are double-buffered in VMEM (~16 MB/core): size
-        # (tm + tn) so 2 * (tm + 2*tm) * d * 4 stays under ~12 MB —
-        # wide concat embeddings (AliNet eval: d ~ 1300) need smaller
-        # tiles than the d=128 default
-        tm = max(128, min(512, (12 * 2 ** 20 // (24 * d)) // 128 * 128))
+        # (tm + tn) so 2 * (tm + 2*tm) * d * 4 plus the kernel's [tm, tn]
+        # temporaries stay under budget — wide concat embeddings (AliNet
+        # eval: d ~ 1300) need smaller tiles than the d=128 default.  A
+        # 12 MB operand budget left no headroom for the temporaries and
+        # hit scoped-vmem OOM at d=1280 (caught by the alinet_15k drive);
+        # 9 MB keeps ~2x margin
+        tm = max(128, min(512, (9 * 2 ** 20 // (24 * d)) // 128 * 128))
         tn = 2 * tm
     m = -(-n1 // tm) * tm
     n = -(-n2 // tn) * tn
@@ -528,8 +531,9 @@ def topk_means(a: jax.Array, b: jax.Array, k: int, metric: str = "inner",
     d = -(-d0 // 128) * 128
     if not tm:
         # same VMEM budget rule as inner_rank_both (wide concat
-        # embeddings need smaller tiles)
-        tm = max(128, min(512, (12 * 2 ** 20 // (24 * d)) // 128 * 128))
+        # embeddings need smaller tiles; 9 MB leaves headroom for the
+        # [tm, tn+128] merge temporaries)
+        tm = max(128, min(512, (9 * 2 ** 20 // (24 * d)) // 128 * 128))
         tn = 2 * tm
     m = -(-na // tm) * tm
     n = -(-nb // tn) * tn

@@ -280,11 +280,31 @@ def build_chunk_meta(row: np.ndarray, col: np.ndarray, n_rows: int,
     row = np.asarray(row)
     col = np.asarray(col)
     nnz = len(row)
-    order = np.argsort(row, kind="stable")
-    row_s, col_s = row[order], col[order]
+    # skip the re-sort when rows arrive sorted (they usually do: the
+    # adjacency builders emit row-sorted COO) — the argsort + two 80M
+    # gathers cost seconds at the 100K 2-hop shape
+    presorted = nnz == 0 or bool((np.diff(row) >= 0).all())
+    if presorted:
+        order = None
+        row_s, col_s = row, col
+    else:
+        order = None
+        if nnz >= (1 << 22) and row.dtype == np.int32:
+            # native parallel counting argsort (bounded key domain):
+            # np.argsort costs ~20 s at the 80M-edge transpose-meta shape
+            from openea_tpu.data.native import counting_argsort
+            order = counting_argsort(row, n_rows)
+        if order is None:
+            order = np.argsort(row, kind="stable")
+        row_s, col_s = row[order], col[order]
 
+    # TM / EC are powers of two: shifts, not divmod (int64 division over
+    # tens of millions of edges is seconds-per-pass)
+    tm_b = TM.bit_length() - 1
+    assert (1 << tm_b) == TM
     n_windows = max(-(-n_rows // TM), 1)
-    win = row_s // TM
+    win = row_s >> tm_b if row_s.dtype == np.int32 \
+        else (row_s // TM).astype(np.int64)
     wcounts = np.bincount(win, minlength=n_windows).astype(np.int64)
     wstarts = np.concatenate([[0], np.cumsum(wcounts)])
     chunks_per = np.maximum(-(-wcounts // EC), 1)
@@ -298,24 +318,32 @@ def build_chunk_meta(row: np.ndarray, col: np.ndarray, n_rows: int,
     window_p = np.full(nc_pad, n_windows - 1, np.int32)
     first_p = np.zeros(nc_pad, np.int32)
 
-    # vectorized chunk routing (the per-chunk python loop cost ~40 s at
-    # 4*10^7-edge 2-hop adjacencies): sorted edge k of window w sits at
-    # within-window position p, i.e. chunk cumch[w] + p//EC, slot p%EC
+    # chunk routing is LINEAR in the sorted position: sorted edge i of
+    # window w sits at within-window position p = i - wstarts[w], i.e.
+    # chunk cumch[w] + p//EC at slot p%EC — and (cumch[w] + p//EC)*EC +
+    # p%EC = cumch[w]*EC + p, so the whole route is one per-window
+    # offset gather + an add (the divmod form cost ~10 s at 80M edges)
     cumch = np.concatenate([[0], np.cumsum(chunks_per)])
-    p = np.arange(nnz, dtype=np.int64) - wstarts[win]
-    slot_sorted = (cumch[win] + p // EC) * EC + p % EC
+    woff = cumch[:-1] * EC - wstarts[:-1]          # [n_windows] int64
+    slot_sorted = np.arange(nnz, dtype=np.int64)
+    slot_sorted += woff[win]
     col_p[slot_sorted] = col_s
-    rowloc_p[slot_sorted] = (row_s - win * TM).astype(np.int32)
+    rowloc_p[slot_sorted] = (row_s & (TM - 1)).astype(np.int32)
     if nc:
         window_p[:nc] = np.repeat(np.arange(n_windows, dtype=np.int32),
                                   chunks_per)
         first_p[cumch[:-1]] = 1          # first chunk of every window
 
-    slots = np.zeros(nnz, np.int64)
-    slots[order] = slot_sorted
-    # slot -> original edge (pad slots -> nnz: callers append one zero)
-    inv = np.full(nc_pad * EC, nnz, np.int64)
-    inv[slot_sorted] = order
+    if presorted:
+        slots = slot_sorted
+        inv = np.full(nc_pad * EC, nnz, np.int64)
+        inv[slot_sorted] = np.arange(nnz, dtype=np.int64)
+    else:
+        slots = np.zeros(nnz, np.int64)
+        slots[order] = slot_sorted
+        # slot -> original edge (pad slots -> nnz: callers append a zero)
+        inv = np.full(nc_pad * EC, nnz, np.int64)
+        inv[slot_sorted] = order
     return ChunkMeta(col=col_p, rowloc=rowloc_p.reshape(nc_pad, 8, EC // 8),
                      window=window_p, first=first_p,
                      slots=slots.astype(np.int32),
