@@ -122,9 +122,10 @@ def test_both(embeds1, embeds2, mapping, top_k, threads_num=1,
     similarity pass and one device round trip; prints the reference's
     two 'accurate results' lines.  Returns (alignment_rest_12, hits1,
     mrr) of the plain metrics, like test(csls_k=0)."""
-    if mesh is not None or csls_k <= 0 or (
-            metric in ("manhattan", "cityblock")):
-        # sharded / fused-kernel paths keep the two-call form
+    if mesh is not None or csls_k <= 0:
+        # sharded path keeps the two-call form (manhattan included the
+        # fused family since r4: rank_and_argmax_both serves it through
+        # the cached-distance / two-pass kernels in ONE call)
         rest_12, hits1, mrr = test(embeds1, embeds2, mapping, top_k,
                                    threads_num, metric, normalize, 0, True,
                                    compute_dtype, mesh)
