@@ -260,6 +260,7 @@ int32_t openea_counting_argsort(const int32_t* keys, int64_t n,
   if (n < static_cast<int64_t>(nt) * 262144) nt = 1;
   std::vector<std::vector<int64_t>> hist(nt);
   std::vector<int64_t> b0(nt + 1);
+  std::vector<int> bad(nt, 0);
   for (int t = 0; t <= nt; ++t) b0[t] = n * t / nt;
   {
     std::vector<std::thread> th;
@@ -269,14 +270,14 @@ int32_t openea_counting_argsort(const int32_t* keys, int64_t n,
         h.assign(static_cast<size_t>(n_keys), 0);
         for (int64_t i = b0[t]; i < b0[t + 1]; ++i) {
           const int64_t k = keys[i];
-          if (k < 0 || k >= n_keys) h[0] = -1;  // flag bad key
+          if (k < 0 || k >= n_keys) bad[t] = 1;
           else ++h[k];
         }
       });
     for (auto& x : th) x.join();
   }
   for (int t = 0; t < nt; ++t)
-    if (!hist[t].empty() && hist[t][0] == -1) return -1;
+    if (bad[t]) return -1;
   // (key, block)-major exclusive prefix -> per-block write starts
   int64_t acc = 0;
   for (int64_t k = 0; k < n_keys; ++k)

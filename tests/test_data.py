@@ -83,3 +83,45 @@ def test_read_kgs_from_dbp_dwy(tmp_path):
     # fixed point keeps the a/b pairs
     assert kgs.kg1.relation_triples_num >= 1
     assert len(kgs.train_links) == 1
+
+
+def test_native_counting_argsort_edge_cases():
+    from openea_tpu.data.native import counting_argsort
+    import numpy as np
+    rng = np.random.RandomState(0)
+    k = rng.randint(0, 97, 50000).astype(np.int32)
+    out = counting_argsort(k, 97)
+    if out is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    assert (out == np.argsort(k, kind="stable")).all()
+    # out-of-range key -> refuses (None), no crash
+    bad = k.copy(); bad[123] = 97
+    assert counting_argsort(bad, 97) is None
+    bad[123] = -1
+    assert counting_argsort(bad, 97) is None
+    # empty input
+    empty = counting_argsort(np.zeros(0, np.int32), 5)
+    assert empty is None or len(empty) == 0
+    # single key value
+    ones = np.full(1000, 41, np.int32)
+    out = counting_argsort(ones, 97)
+    assert (out == np.arange(1000)).all()
+
+
+def test_native_sort_unique_edge_cases():
+    from openea_tpu.data.native import sort_unique_i64
+    import numpy as np
+    rng = np.random.RandomState(0)
+    k = rng.randint(-2**40, 2**40, 30000).astype(np.int64)
+    k[::3] = k[1::3][:len(k[::3])] if False else k[::3]
+    dup = np.concatenate([k, k[:5000]])
+    out = sort_unique_i64(dup)
+    if out is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    assert (out == np.unique(dup)).all()
+    empty = sort_unique_i64(np.zeros(0, np.int64))
+    assert empty is None or len(empty) == 0
+    one = sort_unique_i64(np.array([7, 7, 7], np.int64))
+    assert one.tolist() == [7]
