@@ -497,6 +497,7 @@ def topk_means(a: jax.Array, b: jax.Array, k: int, metric: str = "inner",
     na, d0 = a.shape
     nb = b.shape[0]
     assert 0 < k <= nb, (k, nb)
+    assert k <= _TKLANES, (k, "running top-k lives in one 128-lane block")
     if metric == "cosine":
         from openea_tpu.ops.initializers import l2_normalize
         a, b = l2_normalize(a), l2_normalize(b)

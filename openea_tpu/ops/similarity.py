@@ -97,7 +97,7 @@ def blocked_row_topk_means(embed1, embed2, k: int, block: int = 4096,
         metric = "inner" if metric == "cosine" else metric
     if fused is None:
         fused = jax.devices()[0].platform == "tpu"
-    if fused and k <= embed2.shape[0] and metric in (
+    if fused and k <= min(embed2.shape[0], 128) and metric in (
             "inner", "cosine", "euclidean", "manhattan", "cityblock"):
         # fused streaming exact top-k means: each sim tile merges into a
         # VMEM-resident running top-k (k extract-max steps), so neither
