@@ -45,6 +45,12 @@ def main(argv=None, mode: str = "full"):
         return 1
     t = time.time()
     args = _resolve_args(argv[0])
+    # OPENEA_DATA_ROOT overrides the preset's data root (run/sweep.sh -t;
+    # built-in presets default to the reference's ../../datasets/ layout)
+    import os
+    root = os.environ.get("OPENEA_DATA_ROOT")
+    if root:
+        args.training_data = root.rstrip("/") + "/"
     if len(argv) >= 2:
         args.training_data = args.training_data + argv[1] + "/"
     if len(argv) >= 3:

@@ -10,6 +10,7 @@
 # -f folds (721_5fold splits)
 # -o mode: full | test | rev | wo_attr | mesh (multi-chip)
 # -l log dir
+# -t data root (overrides the preset's training_data, e.g. /tmp/verify_ds)
 set -u
 
 method=bootea
@@ -18,8 +19,9 @@ datasets="EN_FR_15K_V1"
 folds="1"
 mode=full
 logdir=logs
+dataroot=""
 
-while getopts "m:s:d:f:o:l:" opt; do
+while getopts "m:s:d:f:o:l:t:" opt; do
   case $opt in
     m) method="$OPTARG" ;;
     s) scale="$OPTARG" ;;
@@ -27,9 +29,13 @@ while getopts "m:s:d:f:o:l:" opt; do
     f) folds="$OPTARG" ;;
     o) mode="$OPTARG" ;;
     l) logdir="$OPTARG" ;;
-    *) echo "usage: $0 [-m method] [-s scale] [-d datasets] [-f folds] [-o mode] [-l logdir]"; exit 1 ;;
+    t) dataroot="$OPTARG" ;;
+    *) echo "usage: $0 [-m method] [-s scale] [-d datasets] [-f folds] [-o mode] [-l logdir] [-t dataroot]"; exit 1 ;;
   esac
 done
+if [ -n "$dataroot" ]; then
+  export OPENEA_DATA_ROOT="$dataroot"
+fi
 
 mkdir -p "$logdir"
 for ds in $datasets; do
@@ -49,6 +55,10 @@ from openea_tpu.statistics import logs_to_csv
 logdir, method = sys.argv[1], sys.argv[2]
 logs = sorted(glob.glob(f"{logdir}/{method}_*.log"))
 if logs:
-    logs_to_csv(logs, f"{logdir}/{method}_summary.csv")
-    print("summary:", f"{logdir}/{method}_summary.csv")
+    rows = logs_to_csv(logs, f"{logdir}/{method}_summary.csv")
+    if rows:
+        print("summary:", f"{logdir}/{method}_summary.csv")
+    else:
+        print("summary: no accurate-result lines found in",
+              len(logs), "log(s) — check the run logs for errors")
 EOF
