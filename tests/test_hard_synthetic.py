@@ -303,3 +303,61 @@ def test_gmnn_hard_tier_floor():
                      eval_freq=1000, stop_metric="hits1")
     h1, mrr = m._rank_eval(m._test_ex, "accurate")
     assert h1 > 14.0, f"GMNN hard-tier floor broken (H@1={h1})"
+
+
+def test_sea_hard_tier_floor():
+    # measured 36.7 H@1 (80 epochs)
+    m, _ = run_model("SEA", "mapping", epochs=80, kgs=hard_kgs("mapping"),
+                     learning_rate=0.01, init="normal", loss="margin-based",
+                     neg_sampling="uniform", optimizer="Adam",
+                     eval_metric="inner", loss_norm="L2", ent_l2_norm=True,
+                     rel_l2_norm=True, neg_triple_num=1, margin=1.5,
+                     alpha_1=2.5, alpha_2=0.25, eval_norm=True,
+                     start_valid=1000, eval_freq=1000)
+    h1, mrr = test_hits1(m)
+    assert h1 > 18.0, f"SEA hard-tier floor broken (H@1={h1})"
+
+
+def test_iptranse_hard_tier_floor():
+    # measured 20.7 H@1 (60 epochs)
+    kgs = hard_kgs("sharing", edge_keep_prob=1.0, noise_edge_frac=0.0)
+    m, _ = run_model("IPTransE", "sharing", epochs=60, kgs=kgs,
+                     learning_rate=0.05, init="normal",
+                     neg_sampling="uniform", optimizer="Adagrad",
+                     eval_metric="inner", loss_norm="L2", ent_l2_norm=True,
+                     rel_l2_norm=True, margin=1.5, neg_triple_num=1,
+                     path_parm=0.1, bp_freq=20, sim_th=0.5,
+                     start_valid=1000, eval_freq=1000)
+    h1, mrr = test_hits1(m)
+    assert h1 > 10.0, f"IPTransE hard-tier floor broken (H@1={h1})"
+
+
+def test_attre_hard_tier_floor():
+    # measured 54.5 H@1 (60 epochs)
+    kgs = hard_kgs("sharing", edge_keep_prob=1.0, noise_edge_frac=0.0,
+                   num_attributes=30, attrs_per_entity=4)
+    m, _ = run_model("AttrE", "sharing", epochs=60, kgs=kgs,
+                     learning_rate=0.02, init="normal", loss="margin-based",
+                     neg_sampling="uniform", optimizer="SGD",
+                     eval_metric="inner", loss_norm="L2", margin=1.5,
+                     ent_l2_norm=True, rel_l2_norm=True, attr_l2_norm=True,
+                     char_l2_norm=True, neg_triple_num=1, literal_len=5,
+                     eval_norm=True, start_valid=1000, eval_freq=1000)
+    h1, mrr = test_hits1(m)
+    assert h1 > 27.0, f"AttrE hard-tier floor broken (H@1={h1})"
+
+
+def test_jape_hard_tier_floor():
+    # measured 18.2 H@1 (60 epochs + 20 attr epochs)
+    kgs = hard_kgs("sharing", edge_keep_prob=1.0, noise_edge_frac=0.0,
+                   num_attributes=30, attrs_per_entity=4)
+    m, _ = run_model("JAPE", "sharing", epochs=60, kgs=kgs,
+                     learning_rate=0.05, init="normal",
+                     neg_sampling="uniform", optimizer="Adagrad",
+                     eval_metric="inner", loss_norm="L2", ent_l2_norm=True,
+                     rel_l2_norm=True, neg_triple_num=1, neg_alpha=0.1,
+                     top_attr_threshold=0.9, attr_sim_mat_threshold=0.95,
+                     attr_sim_mat_beta=0.001, sub_mat_size=50,
+                     attr_max_epoch=20, start_valid=1000, eval_freq=1000)
+    h1, mrr = test_hits1(m)
+    assert h1 > 9.0, f"JAPE hard-tier floor broken (H@1={h1})"
