@@ -123,6 +123,11 @@ class IPTransE(BasicModel):
         self._paths = np.asarray([p[:3] for p in paths1 + paths2],
                                  np.int32).reshape(-1, 3)
         self._path_w = np.asarray([p[3] for p in paths1 + paths2], np.float32)
+        # device-resident jit ARGUMENTS (not closure constants): at 100K
+        # the mined paths are ~600 MB — embedding them into the HLO blew
+        # the tunnel's compile-request size cap (HTTP 413)
+        self._paths_dev = jnp.asarray(self._paths)
+        self._path_w_dev = jnp.asarray(self._path_w)
         self._rels1 = np.asarray(self.kgs.kg1.relations, np.int32)
         self._rels2 = np.asarray(self.kgs.kg2.relations, np.int32)
         self._all_rels = np.concatenate([self._rels1, self._rels2])
@@ -148,13 +153,13 @@ class IPTransE(BasicModel):
         n_paths = int(self._paths.shape[0])
         path_bs = max(1, n_paths // max(steps, 1)) if n_paths else 0
         ents1, ents2 = self._ents1, self._ents2
-        paths, path_w, all_rels = self._paths, self._path_w, self._all_rels
+        all_rels = self._all_rels
         opt = self.opt
 
-        def epoch(params, opt_state, key, t1, w1, t2, w2, neigh1, neigh2):
-            # numpy closure constants -> jnp inside the trace (host embed)
-            paths_c = jnp.asarray(paths)
-            path_w_c = jnp.asarray(path_w)
+        def epoch(params, opt_state, key, t1, w1, t2, w2, neigh1, neigh2,
+                  paths_c, path_w_c):
+            # paths arrive as device ARGUMENTS (see init); small constants
+            # still embed from host numpy
             all_rels_c = jnp.asarray(all_rels)
             k1, k2, kp, kscan = jax.random.split(key, 4)
             p1 = jax.random.permutation(k1, t1.shape[0])
@@ -210,7 +215,24 @@ class IPTransE(BasicModel):
                 step, (params, opt_state), (t1s, w1s, t2s, w2s, pidx, step_keys))
             return params, opt_state, jnp.sum(losses)
 
-        return jax.jit(epoch, donate_argnums=(0, 1))
+        return epoch
+
+    def _epoch_fn(self, use_tables: bool):
+        # base._epoch_fn with two extra device-array args (the mined
+        # paths); the wrapper keeps the base launcher signature and
+        # exposes .lower for precompile()
+        if use_tables not in self._epoch_fn_cache:
+            jitted = self._jit_epoch(self._make_epoch_fn(use_tables),
+                                     n_extra=8)
+
+            def fn(params, opt_state, key, t1, w1, t2, w2, n1, n2):
+                return jitted(params, opt_state, key, t1, w1, t2, w2,
+                              n1, n2, self._paths_dev, self._path_w_dev)
+
+            fn.lower = lambda *a, **k: jitted.lower(
+                *a, self._paths_dev, self._path_w_dev, **k)
+            self._epoch_fn_cache[use_tables] = fn
+        return self._epoch_fn_cache[use_tables]
 
     # ------------------------------------------------------------------ #
     # iterative soft alignment

@@ -138,6 +138,28 @@ def main(case):
         print("RESULT AliNet 100K: init %.1f s (2-hop mining + adj), "
               "%.2f s/epoch steady-state (4-epoch probe incl compile "
               "%.1f s)" % (init_s, train_s / 4, train_s))
+    elif case == "iptranse_100k":
+        # 60-epoch probe with the published preset; reference EN-FR 100K
+        # converged run: 6,632.5 s (running_time.csv).  Covers the sorted-
+        # join 2-hop path mining + path-loss epochs at scale.
+        vals = get_preset_dict("iptranse", "100K")
+        vals.update(is_save=False, seed=1, max_epoch=60, start_valid=1000,
+                    eval_freq=1000)
+        m = get_model("IPTransE")()
+        m.set_args(Args(vals))
+        m.set_kgs(pair_100k("sharing"))
+        t0 = time.time()
+        m.init()
+        init_s = time.time() - t0
+        t0 = time.time()
+        m.run()
+        train_s = time.time() - t0
+        t0 = time.time()
+        m.test(save=False)
+        print("RESULT IPTransE 100K: init %.1f s (incl path mining), "
+              "train %.1f s (60 of 2000 epochs), test %.1f s.  Reference "
+              "converged run: 6,632.5 s" % (init_s, train_s,
+                                            time.time() - t0))
     elif case == "gmnn_100k":
         # capacity probe at the 100K shape (VERDICT r3 #9): memory plan
         # for the padded [E, N]/[E, N, S] subgraph tensors, subgraph +
