@@ -8,8 +8,12 @@ Usage:  python run/bench_models.py <case>
   gcnalign_15k    100 epochs (~1 min)
   gcnalign_100k   100-epoch demo + full test (~6 min)
   alinet_15k      20-epoch demo (~4 min)
+  alinet_100k     epoch-cost probe through att_spmm (~8 min incl mining)
   rdgcn_100k      6-epoch epoch-cost probe (~3 min)
   gmnn_rerank     test-time rerank timing assertion (~1 min)
+  gmnn_100k       capacity probe: memory plan + cand-gen + 1 epoch (~5 min)
+  iptranse_100k   path-mining + 60-epoch probe vs 6632.5 s (~10 min)
+  multike_100k    literal encoder + all views, 5-epoch probe (~15 min)
   dbp2            DBP2.0-scale MTransEV2 full protocol vs 16287.9 s (~10 min)
 
 Each case synthesizes an OpenEA-shaped KG pair (the image ships no real
@@ -138,6 +142,27 @@ def main(case):
         print("RESULT AliNet 100K: init %.1f s (2-hop mining + adj), "
               "%.2f s/epoch steady-state (4-epoch probe incl compile "
               "%.1f s)" % (init_s, train_s / 4, train_s))
+    elif case == "multike_100k":
+        # 5-epoch probe with the published preset (reference EN-FR 100K
+        # converged: 4,827.2 s): literal autoencoder init + all views
+        vals = get_preset_dict("multike", "100K")
+        vals.update(is_save=False, seed=1, max_epoch=5, start_valid=1000,
+                    eval_freq=1000)
+        m = get_model("MultiKE")()
+        m.set_args(Args(vals))
+        m.set_kgs(pair_100k("swapping", attrs=True))
+        t0 = time.time()
+        m.init()
+        init_s = time.time() - t0
+        t0 = time.time()
+        m.run()
+        train_s = time.time() - t0
+        t0 = time.time()
+        m.test(save=False)
+        print("RESULT MultiKE 100K: init %.1f s (incl literal autoencoder), "
+              "train %.1f s (5 epochs of all views), test %.1f s.  "
+              "Reference converged run: 4,827.2 s"
+              % (init_s, train_s, time.time() - t0))
     elif case == "iptranse_100k":
         # 60-epoch probe with the published preset; reference EN-FR 100K
         # converged run: 6,632.5 s (running_time.csv).  Covers the sorted-
