@@ -150,6 +150,59 @@ def match_ontologies(onto1: str, ns1: str, onto2: str, ns2: str,
     return [(u1, u2, "%.1f" % s, "=") for u1, u2, s in matches]
 
 
+# Namespaces of the OAEI benchmark ontologies, as hard-coded in the
+# reference lab driver (tutorial/ontology_matching/src/main.py:8-12).
+OAEI_SRC_NS = "http://oaei.ontologymatching.org/2007/benchmarks/101/onto.rdf#"
+OAEI_TARGET_NS = {
+    "301": "http://oaei.ontologymatching.org/2007/benchmarks/301/onto.rdf#",
+    "302": "http://ebiquity.umbc.edu/v2.1/ontology/publication.owl#",
+    "303": "http://www.aifb.uni-karlsruhe.de/ontology#",
+    "304": "http://oaei.ontologymatching.org/2007/benchmarks/304/onto.rdf#",
+}
+
+
+def run_oaei_benchmark(data_dir: str, threshold: float = 0.9,
+                       datasets=("301", "302", "303", "304"),
+                       verbose: bool = True):
+    """End-to-end reference-lab pipeline on the real OAEI benchmark dirs
+    (main.py:20-35 + demo.py baseline + test.py grader): parse 101 and
+    each target ontology, run the all-pairs label-similarity baseline
+    matcher, grade against refalign.rdf.  Returns
+    {dataset: (tp, n_pred, n_true, precision, recall, f1)}.
+
+    With the shipped datasets this reproduces the README baseline table
+    exactly (301: 1.00/0.217/0.356, 302: 0.900/0.191/0.316,
+    303: 0.875/0.429/0.575, 304: 0.918/0.592/0.720)."""
+    import os
+    from openea_tpu.tutorial.labs import matching_by_similarity_threshold
+    src = RdfParser(os.path.join(data_dir, "101", "onto.rdf"),
+                    OAEI_SRC_NS, verbose=verbose)
+    results = {}
+    for ds in datasets:
+        tgt = RdfParser(os.path.join(data_dir, ds, "onto.rdf"),
+                        OAEI_TARGET_NS[ds], verbose=verbose)
+        pred = matching_by_similarity_threshold(src, tgt, threshold)
+        gold = parse_alignment(os.path.join(data_dir, ds, "refalign.rdf"))
+        n_pred, n_true = len(pred), len(gold)
+        tp = 0
+        for p in pred:
+            for j, g in enumerate(gold):
+                if p[0] == g[0] and p[1] == g[1] and p[3] == g[3]:
+                    tp += 1
+                    gold.pop(j)
+                    break
+        precision = tp / max(n_pred, 1)
+        recall = tp / max(n_true, 1)
+        f1 = 2 * precision * recall / max(precision + recall, 1e-12)
+        if verbose:
+            print("----------- {} -----------".format(ds))
+            print("Precision: {}/{} = {}".format(tp, n_pred, precision))
+            print("Recall: {}/{} = {}".format(tp, n_true, recall))
+            print("F1: {}".format(f1))
+        results[ds] = (tp, n_pred, n_true, precision, recall, f1)
+    return results
+
+
 def grade_against_refalign(pred: List[Tuple], align_file: str):
     """P/R/F1 against a refalign.rdf gold file, comparing entity pair AND
     relation like the reference grader (test/test.py:47-58)."""
