@@ -535,7 +535,7 @@ def topk_means(a: jax.Array, b: jax.Array, k: int, metric: str = "inner",
         # embeddings need smaller tiles; 9 MB leaves headroom for the
         # [tm, tn+128] merge temporaries)
         tm = max(128, min(512, (9 * 2 ** 20 // (24 * d)) // 128 * 128))
-        tn = 2 * tm
+    tn = tn or 2 * tm  # tm-only overrides must not leave tn = 0
     m = -(-na // tm) * tm
     n = -(-nb // tn) * tn
     ap = jnp.zeros((m, d), pack_dt).at[:na, :d0].set(a)
@@ -662,6 +662,9 @@ def manhattan_rank_both_cached(embed1: jax.Array, embed2: jax.Array,
     matrix — one VPU distance pass total instead of two."""
     n1, d0 = embed1.shape
     n2 = embed2.shape[0]
+    # csls_k beyond the family-1 row count would silently average -3.4e38
+    # sentinels into the column top-k means (mirrors the topk_means guard)
+    assert 0 < k <= n1, (k, n1)
     d = -(-d0 // feat_chunk) * feat_chunk
     m = -(-n1 // tm) * tm
     n = -(-n2 // tn) * tn

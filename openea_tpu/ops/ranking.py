@@ -43,16 +43,21 @@ def rank_and_argmax(embed1: jax.Array, embed2: jax.Array,
     jit, and threaded in as static args — so ops.dispatch.force_fused()
     exercises every fused branch in interpret mode on CPU without a
     stale jit-cache hiding the switch."""
+    # the HBM-cache budget gate is ALSO resolved here: _MANHATTAN_CACHE_BYTES
+    # is a module global, and reading it inside the jitted body would bake
+    # the decision into a stale trace cache when a caller patches the budget
     return _rank_and_argmax(embed1, embed2, gold_cols, metric=metric,
                             normalize=normalize, csls_k=csls_k, block=block,
                             fused=dispatch.use_fused(),
-                            interpret=dispatch.interpret_mode())
+                            interpret=dispatch.interpret_mode(),
+                            manh_cached=_manhattan_cache_fits(
+                                embed1.shape[0], embed2.shape[0]))
 
 
 @partial(jax.jit, static_argnames=("metric", "normalize", "csls_k", "block",
-                                   "fused", "interpret"))
+                                   "fused", "interpret", "manh_cached"))
 def _rank_and_argmax(embed1, embed2, gold_cols, metric, normalize,
-                     csls_k, block, fused, interpret):
+                     csls_k, block, fused, interpret, manh_cached):
     embed1 = jnp.asarray(embed1)
     embed2 = jnp.asarray(embed2)
     if normalize:
@@ -95,7 +100,7 @@ def _rank_and_argmax(embed1, embed2, gold_cols, metric, normalize,
 
     if metric in ("manhattan", "cityblock") and csls_k > 0 and fused:
         gold = gold_cols.astype(jnp.int32)
-        if _manhattan_cache_fits(embed1.shape[0], embed2.shape[0]):
+        if manh_cached:
             from openea_tpu.ops.pallas_kernels import (
                 manhattan_rank_both_cached)
             _, _, rk2, best2 = manhattan_rank_both_cached(
@@ -172,13 +177,15 @@ def rank_and_argmax_both(embed1: jax.Array, embed2: jax.Array,
     return _rank_and_argmax_both(embed1, embed2, gold_cols, metric=metric,
                                  normalize=normalize, csls_k=csls_k,
                                  block=block, fused=dispatch.use_fused(),
-                                 interpret=dispatch.interpret_mode())
+                                 interpret=dispatch.interpret_mode(),
+                                 manh_cached=_manhattan_cache_fits(
+                                     embed1.shape[0], embed2.shape[0]))
 
 
 @partial(jax.jit, static_argnames=("metric", "normalize", "csls_k", "block",
-                                   "fused", "interpret"))
+                                   "fused", "interpret", "manh_cached"))
 def _rank_and_argmax_both(embed1, embed2, gold_cols, metric, normalize,
-                          csls_k, block, fused, interpret):
+                          csls_k, block, fused, interpret, manh_cached):
     embed1 = jnp.asarray(embed1)
     embed2 = jnp.asarray(embed2)
     if normalize:
@@ -193,7 +200,7 @@ def _rank_and_argmax_both(embed1, embed2, gold_cols, metric, normalize,
                                                    manhattan_rank_both)
         gold = gold_cols.astype(jnp.int32)
         if metric in ("manhattan", "cityblock"):
-            if _manhattan_cache_fits(embed1.shape[0], embed2.shape[0]):
+            if manh_cached:
                 # one VPU distance pass total: r2 AND both rank families
                 # stream the cached HBM matrix (pallas_kernels section
                 # comment; falls back to two passes past the HBM budget)
