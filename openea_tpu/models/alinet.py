@@ -333,15 +333,45 @@ class AliNet(BasicModel):
         self._nnz_cap = 2 * (2 * len(one_hop) + n)
         self.adj1 = undirected_normalized_adj(n, one_hop, pad_to=self._nnz_cap)
         cap2 = int(getattr(a, "two_hop_max_pairs", 0) or 0)
-        two_pairs = np.concatenate([
-            generate_2hop_pairs(tri1, self.linked_ents, cap2, a.seed),
-            generate_2hop_pairs(tri2, self.linked_ents, cap2, a.seed + 1)])
-        adj2_h = undirected_normalized_adj(
-            n, np.stack([two_pairs[:, 0],
-                         np.zeros(len(two_pairs), np.int64),
-                         two_pairs[:, 1]], axis=1), host=True)
-        self.adj2 = SparseAdj(jnp.asarray(adj2_h.row), jnp.asarray(adj2_h.col),
-                              jnp.asarray(adj2_h.val), n)
+        # 2-hop mining cached to disk like the reference's adjacency
+        # pickle (reference alinet.py:711-725), keyed on the content of
+        # (triple sets, linked set, cap, seed) — warm 100K starts skip
+        # the ~10^8-row join entirely
+        from openea_tpu.data import mining_cache as mc
+        linked_key = np.asarray(sorted(self.linked_ents), np.int64)
+
+        def build():
+            return {"two_pairs": np.concatenate([
+                generate_2hop_pairs(tri1, self.linked_ents, cap2, a.seed),
+                generate_2hop_pairs(tri2, self.linked_ents, cap2,
+                                    a.seed + 1)])}
+
+        key2 = (mc.triples_key(tri1), mc.triples_key(tri2), linked_key,
+                cap2, a.seed)
+
+        # the normalized 2-hop adjacency and the attention chunk metas
+        # are pure functions of (two_pairs, n) — at 100K their host
+        # builds cost another ~75 s (sym-normalize over 79M edges 52 s,
+        # chunk routing 23 s), so they are cached alongside the pairs.
+        # On a full warm hit the pairs themselves are never needed, so
+        # their 640 MB cache entry is only read on an adj2 miss.
+        def build_adj2():
+            two_pairs = mc.cached("alinet_2hop", key2, build, args=a,
+                                  names=("two_pairs",))["two_pairs"]
+            adj2_h = undirected_normalized_adj(
+                n, np.stack([two_pairs[:, 0],
+                             np.zeros(len(two_pairs), np.int64),
+                             two_pairs[:, 1]], axis=1), host=True)
+            return {"row": np.asarray(adj2_h.row),
+                    "col": np.asarray(adj2_h.col),
+                    "val": np.asarray(adj2_h.val)}
+
+        a2 = mc.cached("alinet_adj2", key2 + (n,), build_adj2, args=a,
+                       names=("row", "col", "val"))
+        self.adj2 = SparseAdj(jnp.asarray(a2["row"]),
+                              jnp.asarray(a2["col"]),
+                              jnp.asarray(a2["val"]), n)
+        adj2_nnz = len(a2["row"])
         # Pallas attention aggregation: static 2-hop structure -> chunk
         # metas for the FULLY-FUSED att_spmm (edge logits computed in-
         # kernel, static weights pre-permuted into chunk layout — no
@@ -356,20 +386,44 @@ class AliNet(BasicModel):
         from openea_tpu.ops import dispatch
         self._att_interpret = dispatch.interpret_mode()
         if (dispatch.use_fused()
-                and (adj2_h.row.shape[0] >= 65536
-                     or self._att_interpret)):
-            from openea_tpu.ops.spmm_pallas import (EC, chunk_vals,
+                and (adj2_nnz >= 65536 or self._att_interpret)):
+            from openea_tpu.ops.spmm_pallas import (ChunkMeta, EC,
+                                                    chunk_vals,
                                                     metas_from_coo)
             # interpret mode (force_fused tests on CPU): tiny mega-chunks
             # so the emulated grid stays a few chunks per pass
             S = 2 if self._att_interpret else max(1, (1 << 18) // EC)
-            meta, meta_t = metas_from_coo(np.asarray(adj2_h.row),
-                                          np.asarray(adj2_h.col), n,
-                                          pad_chunks_to=S)
-            val_np = np.asarray(adj2_h.val)
+            # slots/inv_slots are BUILD-time fields (chunk_vals routing);
+            # att_spmm's static-value path never reads them, so the
+            # cached bundle and the device upload both drop them
+            # (~600 MB at the 100K 2-hop shape)
+            _MF = ("col", "rowloc", "window", "first")
+
+            def build_metas():
+                meta, meta_t = metas_from_coo(a2["row"], a2["col"], n,
+                                              pad_chunks_to=S)
+                out = {"m_" + f: getattr(meta, f) for f in _MF}
+                out.update({"t_" + f: getattr(meta_t, f) for f in _MF})
+                out["aux"] = np.asarray(
+                    [meta.n_rows, meta.n_windows, meta_t.n_rows,
+                     meta_t.n_windows], np.int64)
+                out["cv"] = chunk_vals(meta, a2["val"])
+                out["cvt"] = chunk_vals(meta_t, a2["val"])
+                return out
+
+            mm = mc.cached("alinet_metas", key2 + (n, S), build_metas,
+                           args=a,
+                           names=["m_" + f for f in _MF]
+                           + ["t_" + f for f in _MF] + ["aux", "cv", "cvt"])
+            aux = mm["aux"]
+            _empty = np.zeros(0, np.int32)
+            meta = ChunkMeta(*(mm["m_" + f] for f in _MF), _empty, _empty,
+                             int(aux[0]), int(aux[1]))
+            meta_t = ChunkMeta(*(mm["t_" + f] for f in _MF), _empty,
+                               _empty, int(aux[2]), int(aux[3]))
             self._att_metas = (meta.device_put(), meta_t.device_put(),
-                               jnp.asarray(chunk_vals(meta, val_np)),
-                               jnp.asarray(chunk_vals(meta_t, val_np)))
+                               jnp.asarray(mm["cv"]),
+                               jnp.asarray(mm["cvt"]))
             self._att_block = S
 
         ht, lens, n_rel = rel_ht_table(one_hop, seed=a.seed)

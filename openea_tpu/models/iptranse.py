@@ -33,12 +33,13 @@ from openea_tpu.eval.evaluation import early_stop
 from openea_tpu.models.base import BasicModel
 from openea_tpu.ops import bootstrapping as bs
 from openea_tpu.ops.initializers import l2_normalize
+from openea_tpu.ops.lookup import table_lookup
 from openea_tpu.ops.matching import check_new_alignment
 from openea_tpu.ops.optim import get_optimizer
 from openea_tpu.ops.sampling import corrupt_batch
 
 
-def generate_2steps_path(triples) -> List[Tuple[int, int, int, float]]:
+def generate_2steps_path(triples, as_arrays: bool = False):
     """Mine 2-hop relation paths (rx, ry, r, weight) with the reference's
     exact pandas join semantics (iptranse.py:95-115): weight =
     |(h,rx)-group| * |(m,ry)-group|, keep weight < 101, then close the
@@ -50,8 +51,10 @@ def generate_2steps_path(triples) -> List[Tuple[int, int, int, float]]:
     the reference materializes the full self-merge first, which blows up
     on high-degree graphs."""
     if len(triples) == 0:
-        return []
-    arr = np.asarray([[h, r, t] for h, r, t in triples], np.int64)
+        return ((np.zeros((0, 3), np.int32), np.zeros((0,), np.float32))
+                if as_arrays else [])
+    arr = (np.asarray(triples, np.int64) if isinstance(triples, np.ndarray)
+           else np.asarray([[h, r, t] for h, r, t in triples], np.int64))
     n = int(max(arr[:, 0].max(), arr[:, 2].max())) + 1
     eb = max(int(np.ceil(np.log2(n))), 1)
     hr_key = (arr[:, 0] << 32) | arr[:, 1]
@@ -92,6 +95,11 @@ def generate_2steps_path(triples) -> List[Tuple[int, int, int, float]]:
     r = drel[di]
     wgt = w[li2].astype(np.float64)
     print("num of path:", len(rx))
+    if as_arrays:
+        # skip the 10^7-row python tuple round trip (tens of seconds of
+        # pure interpreter time at 100K scale)
+        return (np.stack([rx, ry, r], axis=1).astype(np.int32),
+                wgt.astype(np.float32))
     return [(int(a), int(b), int(c), float(d))
             for a, b, c, d in zip(rx, ry, r, wgt)]
 
@@ -116,18 +124,23 @@ class IPTransE(BasicModel):
         super().init()
         self.ref_entities1 = self.kgs.valid_entities1 + self.kgs.test_entities1
         self.ref_entities2 = self.kgs.valid_entities2 + self.kgs.test_entities2
-        paths1 = generate_2steps_path(self.kgs.kg1.relation_triples_list)
-        paths2 = generate_2steps_path(self.kgs.kg2.relation_triples_list)
+        mined = self._mine_paths()
         # host numpy (closure constants embed from host memory at lowering;
         # a device array here costs a tunnel round trip per traced fn)
-        self._paths = np.asarray([p[:3] for p in paths1 + paths2],
-                                 np.int32).reshape(-1, 3)
-        self._path_w = np.asarray([p[3] for p in paths1 + paths2], np.float32)
+        self._paths = mined["paths"]
+        self._path_w = mined["path_w"]
         # device-resident jit ARGUMENTS (not closure constants): at 100K
         # the mined paths are ~600 MB — embedding them into the HLO blew
-        # the tunnel's compile-request size cap (HTTP 413)
-        self._paths_dev = jnp.asarray(self._paths)
-        self._path_w_dev = jnp.asarray(self._path_w)
+        # the tunnel's compile-request size cap (HTTP 413).  Permuted
+        # ONCE here; epochs re-cut batches by rotation (see epoch fn).
+        if len(self._paths):
+            perm = np.random.RandomState(self.args.seed).permutation(
+                len(self._paths))
+            self._paths_dev = jnp.asarray(self._paths[perm])
+            self._path_w_dev = jnp.asarray(self._path_w[perm])
+        else:
+            self._paths_dev = jnp.asarray(self._paths)
+            self._path_w_dev = jnp.asarray(self._path_w)
         self._rels1 = np.asarray(self.kgs.kg1.relations, np.int32)
         self._rels2 = np.asarray(self.kgs.kg2.relations, np.int32)
         self._all_rels = np.concatenate([self._rels1, self._rels2])
@@ -135,6 +148,26 @@ class IPTransE(BasicModel):
         self.align_opt = get_optimizer(self.args.optimizer, self.args.learning_rate)
         self.align_opt_state = self.align_opt.init(self.params)
         self._align_epoch_cache = {}
+
+    def _mine_paths(self):
+        """Mine (or load from the disk cache) the 2-hop relation paths of
+        both KGs.  The reference re-mines on every run; RSN4EA-style disk
+        caching (reference rsn4ea.py:225-233) keyed on the triple-set
+        content digest makes warm 100K starts seconds instead of ~340 s.
+        Mining runs on the canonically sorted triple array so the output
+        is a pure function of the triple SET (= the digest key)."""
+        from openea_tpu.data import mining_cache as mc
+        t1 = mc.triples_key(self.kgs.kg1.relation_triples_list)
+        t2 = mc.triples_key(self.kgs.kg2.relation_triples_list)
+
+        def build():
+            p1, w1 = generate_2steps_path(t1, as_arrays=True)
+            p2, w2 = generate_2steps_path(t2, as_arrays=True)
+            return {"paths": np.concatenate([p1, p2], axis=0),
+                    "path_w": np.concatenate([w1, w2])}
+
+        return mc.cached("iptranse_paths", (t1, t2), build, args=self.args,
+                         names=("paths", "path_w"))
 
     # ------------------------------------------------------------------ #
     # joint triple + path epoch
@@ -167,24 +200,33 @@ class IPTransE(BasicModel):
             t1s, w1s = t1[p1].reshape(steps, bs1, 3), w1[p1].reshape(steps, bs1)
             t2s, w2s = t2[p2].reshape(steps, bs2, 3), w2[p2].reshape(steps, bs2)
             if path_bs:
-                pperm = jax.random.permutation(kp, n_paths)
+                # paths were permuted ONCE at init; per epoch a random
+                # ROTATION re-cuts the contiguous step batches.  The full
+                # per-epoch permutation gather of the [37.7M, 3] table
+                # cost 1.2 s at 100K scale (random-row HBM access) where
+                # the roll costs ~2 ms (two sequential copies); with
+                # 10^6-path batches the batch-composition randomness a
+                # fresh permutation adds is statistically irrelevant.
                 rows = steps * path_bs
-                pidx = jnp.concatenate([pperm, pperm])[:rows].reshape(steps, path_bs)
+                shift = jax.random.randint(kp, (), 0, n_paths)
+                p_steps = jnp.roll(paths_c, shift, axis=0)[:rows] \
+                    .reshape(steps, path_bs, 3)
+                pw_steps = jnp.roll(path_w_c, shift, axis=0)[:rows] \
+                    .reshape(steps, path_bs)
             else:
-                pidx = jnp.zeros((steps, 0), jnp.int32)
+                p_steps = jnp.zeros((steps, 0, 3), jnp.int32)
+                pw_steps = jnp.zeros((steps, 0), jnp.float32)
             step_keys = jax.random.split(kscan, steps)
 
             def step(carry, xs):
                 params, opt_state = carry
-                pos1, w1b, pos2, w2b, pb, sk = xs
+                pos1, w1b, pos2, w2b, ppath, pw, sk = xs
                 sk1, sk2, sk3 = jax.random.split(sk, 3)
                 neg1 = corrupt_batch(sk1, pos1, 1, ents1, neigh1)
                 neg2 = corrupt_batch(sk2, pos2, 1, ents2, neigh2)
                 pos = jnp.concatenate([pos1, pos2], axis=0)
                 neg = jnp.concatenate([neg1, neg2], axis=0)
                 w = jnp.concatenate([w1b, w2b], axis=0)
-                ppath = paths_c[pb]
-                pw = path_w_c[pb]
                 neg_r = all_rels_c[jax.random.randint(
                     sk3, (ppath.shape[0],), 0, all_rels_c.shape[0])]
 
@@ -195,10 +237,19 @@ class IPTransE(BasicModel):
                     neg_s = jnp.sum(jnp.square(nhs + nrs - nts), axis=-1)
                     tri_l = jnp.sum(jax.nn.relu(pos_s + margin - neg_s) * w)
                     if path_bs:
-                        rx = self._rel_lookup(p, ppath[:, 0])
-                        ry = self._rel_lookup(p, ppath[:, 1])
-                        r = self._rel_lookup(p, ppath[:, 2])
-                        nr = self._rel_lookup(p, neg_r)
+                        # ONE concatenated gather for all four relation
+                        # lookups (4.7M-row gathers run 2x the HBM rate
+                        # of 1.2M-row ones) with the one-hot-matmul
+                        # backward (ops/lookup.py) replacing the 4x
+                        # slower scatter-add — together these took the
+                        # 100K epoch from 3.05 s to ~1.2 s
+                        rel = p["rel_embeds"]
+                        if self.args.rel_l2_norm:
+                            rel = l2_normalize(rel)
+                        all_idx = jnp.concatenate(
+                            [ppath[:, 0], ppath[:, 1], ppath[:, 2], neg_r])
+                        looked = table_lookup(rel, all_idx)
+                        rx, ry, r, nr = jnp.split(looked, 4, axis=0)
                         pos_p = jnp.sum(jnp.square(rx + ry - r), axis=-1)
                         neg_p = jnp.sum(jnp.square(rx + ry - nr), axis=-1)
                         path_l = jnp.sum((1.0 / pw) *
@@ -212,7 +263,8 @@ class IPTransE(BasicModel):
                 return (params, opt_state), loss
 
             (params, opt_state), losses = jax.lax.scan(
-                step, (params, opt_state), (t1s, w1s, t2s, w2s, pidx, step_keys))
+                step, (params, opt_state),
+                (t1s, w1s, t2s, w2s, p_steps, pw_steps, step_keys))
             return params, opt_state, jnp.sum(losses)
 
         return epoch

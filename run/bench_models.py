@@ -12,8 +12,12 @@ Usage:  python run/bench_models.py <case>
   rdgcn_100k      6-epoch epoch-cost probe (~3 min)
   gmnn_rerank     test-time rerank timing assertion (~1 min)
   gmnn_100k       capacity probe: memory plan + cand-gen + 1 epoch (~5 min)
-  iptranse_100k   path-mining + 60-epoch probe vs 6632.5 s (~10 min)
-  multike_100k    literal encoder + all views, 5-epoch probe (~15 min)
+  iptranse_100k   path-mining + 60-epoch probe vs 6632.5 s (~4 min warm)
+  multike_100k    literal encoder + all views, 12-epoch probe with
+                  per-view steady-state breakdown (~20 min)
+  attre_100k      20-epoch probe vs 7387.1 s (north-star row)
+  sea_100k        20-epoch probe vs ~1504.7 s
+  jape_100k       20-epoch probe vs ~6494.2 s
   dbp2            DBP2.0-scale MTransEV2 full protocol vs 16287.9 s (~10 min)
 
 Each case synthesizes an OpenEA-shaped KG pair (the image ships no real
@@ -143,14 +147,65 @@ def main(case):
               "%.2f s/epoch steady-state (4-epoch probe incl compile "
               "%.1f s)" % (init_s, train_s / 4, train_s))
     elif case == "multike_100k":
-        # 5-epoch probe with the published preset (reference EN-FR 100K
-        # converged: 4,827.2 s): literal autoencoder init + all views
+        # 12-epoch probe with the published preset (reference EN-FR 100K
+        # converged: 4,827.2 s): literal autoencoder init + all views,
+        # with a per-view steady-state breakdown (epoch 1 = compile,
+        # excluded from the steady per-epoch number)
         vals = get_preset_dict("multike", "100K")
-        vals.update(is_save=False, seed=1, max_epoch=5, start_valid=1000,
+        vals.update(is_save=False, seed=1, max_epoch=12, start_valid=1000,
                     eval_freq=1000)
         m = get_model("MultiKE")()
         m.set_args(Args(vals))
         m.set_kgs(pair_100k("swapping", attrs=True))
+        t0 = time.time()
+        m.init()
+        init_s = time.time() - t0
+        import collections
+        view_t = collections.defaultdict(list)
+        orig_run_epoch = m._run_epoch
+
+        def timed_run_epoch(fn_name, *a, **kw):
+            t = time.time()
+            out = orig_run_epoch(fn_name, *a, **kw)
+            view_t[fn_name].append(time.time() - t)
+            return out
+
+        m._run_epoch = timed_run_epoch
+        t0 = time.time()
+        m.run()
+        train_s = time.time() - t0
+        t0 = time.time()
+        m.test(save=False)
+        test_s = time.time() - t0
+        steady = {k: sum(v[1:]) / max(len(v) - 1, 1) if len(v) > 1
+                  else v[0] for k, v in view_t.items()}
+        # cross_name runs twice per epoch in the reference loop
+        per_epoch = (steady.get("rel", 0) + 2 * steady.get("cross_name", 0)
+                     + steady.get("ckge_rel", 0) + steady.get("attr", 0)
+                     + steady.get("ckge_attr", 0))
+        print("PER-VIEW steady s/epoch: " + ", ".join(
+            "%s %.2f" % (k, v) for k, v in sorted(steady.items())))
+        print("RESULT MultiKE 100K: init %.1f s (incl literal autoencoder), "
+              "train %.1f s (12 epochs of all views; steady %.1f s/epoch "
+              "compile-free), test %.1f s.  Reference converged run: "
+              "4,827.2 s" % (init_s, train_s, per_epoch, test_s))
+    elif case in ("attre_100k", "sea_100k", "jape_100k"):
+        # epoch-cost probes for the remaining north-star/baseline rows
+        # (VERDICT r4 missing #3).  Reference EN-FR 100K converged runs:
+        # AttrE 7,387.1 s (north-star table), SEA ~1,504.7 s, JAPE
+        # ~6,494.2 s (running_time.csv EN-FR 100K(V1) 5-fold avgs).
+        name, preset, mode, attrs, ref_s = {
+            "attre_100k": ("AttrE", "attre", "sharing", True, 7387.1),
+            "sea_100k": ("SEA", "sea", "mapping", False, 1504.7),
+            "jape_100k": ("JAPE", "jape", "sharing", True, 6494.2),
+        }[case]
+        epochs = 20
+        vals = get_preset_dict(preset, "100K")
+        vals.update(is_save=False, seed=1, max_epoch=epochs,
+                    start_valid=1000, eval_freq=1000)
+        m = get_model(name)()
+        m.set_args(Args(vals))
+        m.set_kgs(pair_100k(mode, attrs=attrs))
         t0 = time.time()
         m.init()
         init_s = time.time() - t0
@@ -159,10 +214,17 @@ def main(case):
         train_s = time.time() - t0
         t0 = time.time()
         m.test(save=False)
-        print("RESULT MultiKE 100K: init %.1f s (incl literal autoencoder), "
-              "train %.1f s (5 epochs of all views), test %.1f s.  "
-              "Reference converged run: 4,827.2 s"
-              % (init_s, train_s, time.time() - t0))
+        test_s = time.time() - t0
+        per_epoch = train_s / epochs
+        # conservative: our cost extrapolated to the FULL 2000-epoch
+        # max_epoch vs the reference's converged (early-stopped) time
+        print("RESULT %s 100K: init %.1f s, train %.1f s (%d of 2000 "
+              "epochs, %.2f s/epoch incl compile), test %.1f s.  At this "
+              "per-epoch cost a full 2000-epoch protocol run costs "
+              "~%.0f s vs the reference's %.1f s converged (>=%.1fx)"
+              % (name, init_s, train_s, epochs, per_epoch, test_s,
+                 per_epoch * 2000 + init_s + test_s, ref_s,
+                 ref_s / (per_epoch * 2000 + init_s + test_s)))
     elif case == "iptranse_100k":
         # 60-epoch probe with the published preset; reference EN-FR 100K
         # converged run: 6,632.5 s (running_time.csv).  Covers the sorted-

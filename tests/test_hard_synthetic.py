@@ -104,6 +104,28 @@ def test_gcn_align_hard_tier_floor():
     assert h1 > 25.0, f"GCN-Align hard-tier floor broken (H@1={h1})"
 
 
+GCN_ALIGN_HARD_KW = dict(
+    learning_rate=2.0, gamma=3.0, beta=0.9,
+    neg_triple_num=5, se_dim=32, ae_dim=32, dim=32,
+    eval_metric="manhattan", eval_norm=False,
+    test_method="sa", start_valid=1000, eval_freq=1000)
+
+
+def test_gcn_align_mesh_hard_tier_floor():
+    """Mesh GCN-Align has a QUALITY gate like AliNet's, not just
+    init-forward parity: the 8-device boundary-exchange run must clear
+    the same halved floor (answers r3's mesh-loss-oscillation doubt)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    m, _ = run_model("GCN_Align", "mapping", epochs=200,
+                     kgs=hard_kgs("mapping"), use_mesh=True,
+                     **GCN_ALIGN_HARD_KW)
+    assert m.mesh is not None and m.mesh.size == 8
+    h1, mrr = test_hits1(m)
+    assert h1 > 25.0, f"GCN-Align mesh hard-tier floor broken (H@1={h1})"
+
+
 def test_bootea_hard_tier_floor():
     m, _ = run_model("BootEA", "swapping", epochs=40,
                      kgs=hard_kgs("swapping"),
@@ -196,6 +218,30 @@ def test_rdgcn_hard_tier_floor():
                      start_valid=1000, eval_freq=1000)
     h1, mrr = test_hits1(m)
     assert h1 > 15.0, f"RDGCN hard-tier floor broken (H@1={h1})"
+
+
+RDGCN_HARD_KW = dict(
+    dim=32, learning_rate=0.005, alpha=0.1, beta=0.3,
+    gamma=1.0, neg_triple_num=5, dropout=0.0,
+    eval_metric="manhattan", eval_norm=False,
+    start_valid=1000, eval_freq=1000)
+
+
+def test_rdgcn_mesh_hard_tier_floor():
+    """Same halved convergence floor for the 8-device mesh RDGCN run
+    (attention boundary-exchange path)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    kgs = synthesize_kg_pair(num_entities=300, num_relations=10,
+                             num_triples=1500, train_frac=0.3,
+                             num_attributes=30, seed=13, hard=True,
+                             train_noise=0.05, mode="mapping")
+    m, _ = run_model("RDGCN", "mapping", epochs=30, kgs=kgs,
+                     use_mesh=True, **RDGCN_HARD_KW)
+    assert m.mesh is not None and m.mesh.size == 8
+    h1, mrr = test_hits1(m)
+    assert h1 > 15.0, f"RDGCN mesh hard-tier floor broken (H@1={h1})"
 
 
 ALINET_HARD_KW = dict(

@@ -228,3 +228,32 @@ def test_rank_and_argmax_both_matches_separate_calls():
         assert np.array_equal(np.asarray(b0), np.asarray(b))
         assert np.array_equal(np.asarray(rc), np.asarray(r2))
         assert np.array_equal(np.asarray(bc), np.asarray(b2))
+
+
+def test_table_lookup_vjp_matches_gather():
+    """ops/lookup.table_lookup: gather forward, one-hot-matmul backward
+    — values and grads match the plain table[idx] formulation (f32
+    backward exactly; default bf16 backward to bf16 tolerance)."""
+    from openea_tpu.ops.lookup import table_lookup
+    key = jax.random.PRNGKey(3)
+    table = jax.random.normal(key, (13, 8))
+    idx = jax.random.randint(key, (50,), 0, 13)
+    coef = jax.random.normal(jax.random.PRNGKey(4), (50, 8))
+
+    def f_ref(t):
+        return jnp.sum(t[idx] * coef)
+
+    def f_exact(t):
+        return jnp.sum(table_lookup(t, idx, jnp.float32) * coef)
+
+    def f_bf16(t):
+        return jnp.sum(table_lookup(t, idx) * coef)
+
+    np.testing.assert_allclose(f_exact(table), f_ref(table), rtol=1e-6)
+    g_ref = jax.grad(f_ref)(table)
+    g_exact = jax.grad(f_exact)(table)
+    np.testing.assert_allclose(np.asarray(g_exact), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+    g_bf16 = jax.grad(f_bf16)(table)
+    np.testing.assert_allclose(np.asarray(g_bf16), np.asarray(g_ref),
+                               rtol=2e-2, atol=2e-2)
