@@ -85,28 +85,98 @@ class JAPE(BasicModel):
         print("Training attributes ends. Total time = {:.3f} s."
               .format(time.time() - t))
 
-    def _make_sim_step(self):
+    def _make_sim_epoch(self, steps: int, sub: int, sparse: bool):
+        """One jitted scan over a sim epoch's sub-matrix steps, with the
+        thresholded similarity matrix DEVICE-resident.
+
+        The r4 implementation fed each [sub, n_ref2] slab from the host
+        per step (the reference's feed_dict pattern, jape.py:127-138);
+        at 100K that is ~140 steps x (host fancy-index + ~140 MB tunnel
+        upload + a round trip) = minutes per epoch.  Uploading the
+        matrix once and sampling/gathering on device makes the epoch a
+        single device call.
+
+        ``sparse``: the matrix rides as a padded top-cap neighbor list
+        (idx [n1, cap], val [n1, cap]) instead of dense rows — the 100K
+        ref sets make the dense matrix ~21 GB, past HBM."""
         ref2_np = np.asarray(self.ref_entities2, np.int32)
+        n1 = len(self.ref_entities1)
         beta = float(self.args.attr_sim_mat_beta)
         opt = self.sim_opt
 
-        def step(params, opt_state, rows, sim_rows):
-            def loss_fn(p):
-                ent = p["ent_embeds"]
-                if self.args.ent_l2_norm:
-                    ent = l2_normalize(ent)
-                e1 = ent[rows]
-                # numpy closure constant -> jnp inside the trace (host embed)
-                e2 = ent[jnp.asarray(ref2_np)]
-                trans = l2_normalize(sim_rows @ e2)
-                return beta * jnp.sum(jnp.square(e1 - trans))
+        def epoch(params, opt_state, key, sim_a, sim_b, ref1):
+            ref2 = jnp.asarray(ref2_np)
+            # ONE permutation per epoch sliced into per-step subsets
+            # (the reference draws 500 rows without replacement per step
+            # independently; a per-epoch permutation is the same
+            # marginal distribution and saves a 72K-key sort per step)
+            perm = jax.random.permutation(key, n1)
+            idx_steps = perm[:steps * sub].reshape(steps, sub)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            def step(carry, idx):
+                params, opt_state = carry
+                rows = ref1[idx]
+                if sparse:
+                    # re-densify the top-cap rows into a [sub, n_ref2]
+                    # slab ON DEVICE (512K scalar scatter, ~2 MB payload)
+                    # so both the combination and its backward are MXU
+                    # matmuls — the einsum formulation's backward was a
+                    # [sub*cap]-ROW scatter-add (~205 MB payload) that
+                    # dominated the sim epoch
+                    w = sim_b[idx].astype(jnp.float32)
+                    sim_rows = jnp.zeros((sub, len(ref2_np))).at[
+                        jnp.arange(sub)[:, None], sim_a[idx]].add(w)
+                else:
+                    sim_rows = sim_b[idx].astype(jnp.float32)
 
-        return jax.jit(step, donate_argnums=(0, 1))
+                def loss_fn(p):
+                    ent = p["ent_embeds"]
+                    if self.args.ent_l2_norm:
+                        ent = l2_normalize(ent)
+                    e1 = ent[rows]
+                    trans = l2_normalize(sim_rows @ ent[ref2])
+                    return beta * jnp.sum(jnp.square(e1 - trans))
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), idx_steps)
+            return params, opt_state, jnp.sum(losses)
+
+        return jax.jit(epoch, donate_argnums=(0, 1))
+
+    def _sim_mat_device(self):
+        """(sim_a, sim_b, sparse): dense f32 <= 6 GB, dense bf16 <=
+        12 GB, else padded top-cap sparse rows (cap covers every row
+        whose nnz fits; rows past the cap keep their LARGEST entries —
+        the combination is re-l2-normalized downstream, so dropped
+        near-threshold tails only perturb the pull direction
+        marginally)."""
+        m = self.attr_sim_mat
+        if m.nbytes <= 6 * 10**9:
+            return jnp.zeros((0,), jnp.int32), jnp.asarray(m), False
+        if m.nbytes <= 12 * 10**9:
+            return (jnp.zeros((0,), jnp.int32),
+                    jnp.asarray(m, jnp.bfloat16), False)
+        cap = int(self.args.get("attr_sim_mat_cap", 1024) or 1024)
+        n1 = m.shape[0]
+        nnz_rows = (m > 0).sum(axis=1)
+        cap = int(min(max(int(nnz_rows.max()), 1), cap))
+        truncated = int((nnz_rows > cap).sum())
+        idx = np.zeros((n1, cap), np.int32)
+        val = np.zeros((n1, cap), np.float32)
+        blk = max(1, (1 << 28) // max(m.shape[1], 1))
+        for i0 in range(0, n1, blk):
+            sl = m[i0:i0 + blk]
+            top = np.argpartition(-sl, cap - 1, axis=1)[:, :cap]
+            idx[i0:i0 + blk] = top
+            val[i0:i0 + blk] = np.take_along_axis(sl, top, axis=1)
+        print("sim mat -> sparse top-{} rows on device ({} of {} rows "
+              "truncated)".format(cap, truncated, n1))
+        return jnp.asarray(idx), jnp.asarray(val), True
 
     def launch_sim_1epo(self, epoch: int):
         if self.attr_sim_mat is None or self.attr_sim_mat.size == 0:
@@ -117,18 +187,17 @@ class JAPE(BasicModel):
         if steps == 0:
             return
         if self._sim_step is None:
-            self._sim_step = self._make_sim_step()
-        ref1 = np.asarray(self.ref_entities1, np.int32)
-        rng = np.random.RandomState(epoch)
-        loss = 0.0
-        for _ in range(steps):
-            idx = rng.choice(len(ref1), sub, replace=False)
-            self.params, self.sim_opt_state, l = self._sim_step(
-                self.params, self.sim_opt_state, jnp.asarray(ref1[idx]),
-                jnp.asarray(self.attr_sim_mat[idx, :]))
-            loss += float(l)
+            sim_a, sim_b, sparse = self._sim_mat_device()
+            self._sim_mat_dev = (sim_a, sim_b)
+            self._sim_ref1_dev = jnp.asarray(
+                np.asarray(self.ref_entities1, np.int32))
+            self._sim_step = self._make_sim_epoch(steps, sub, sparse)
+        self.key, k = jax.random.split(self.key)
+        self.params, self.sim_opt_state, loss = self._sim_step(
+            self.params, self.sim_opt_state, k, *self._sim_mat_dev,
+            self._sim_ref1_dev)
         print("epoch {}, sim loss: {:.4f}, cost time: {:.4f}s"
-              .format(epoch, loss, time.time() - t))
+              .format(epoch, float(loss), time.time() - t))
 
     def run(self):
         # wo_attr ablation: skip Attr2Vec and the attribute-similarity

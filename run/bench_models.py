@@ -209,19 +209,51 @@ def main(case):
         t0 = time.time()
         m.init()
         init_s = time.time() - t0
+        # tee stdout so the per-epoch cost-time lines give a steady-state
+        # number with the compile epochs excluded
+        import io
+        import re
+
+        class _Tee(io.TextIOBase):
+            def __init__(self, real):
+                self.real, self.buf = real, []
+
+            def write(self, s):
+                self.buf.append(s)
+                return self.real.write(s)
+
+            def flush(self):
+                self.real.flush()
+
+        tee = _Tee(sys.stdout)
         t0 = time.time()
-        m.run()
+        old = sys.stdout
+        sys.stdout = tee
+        try:
+            m.run()
+        finally:
+            sys.stdout = old
         train_s = time.time() - t0
+        ep_t = {}
+        for line in "".join(tee.buf).splitlines():
+            mt = re.match(r"epoch (\d+)\b.*?(?:cost )?time: ([0-9.]+)\s*s",
+                          line)
+            if mt:
+                ep_t.setdefault(int(mt.group(1)), 0.0)
+                ep_t[int(mt.group(1))] += float(mt.group(2))
+        steady_eps = [v for k, v in sorted(ep_t.items())[2:]]
+        per_epoch = (sum(steady_eps) / len(steady_eps) if steady_eps
+                     else train_s / epochs)
         t0 = time.time()
         m.test(save=False)
         test_s = time.time() - t0
-        per_epoch = train_s / epochs
         # conservative: our cost extrapolated to the FULL 2000-epoch
         # max_epoch vs the reference's converged (early-stopped) time
         print("RESULT %s 100K: init %.1f s, train %.1f s (%d of 2000 "
-              "epochs, %.2f s/epoch incl compile), test %.1f s.  At this "
-              "per-epoch cost a full 2000-epoch protocol run costs "
-              "~%.0f s vs the reference's %.1f s converged (>=%.1fx)"
+              "epochs; steady %.2f s/epoch, compile epochs excluded), "
+              "test %.1f s.  At the steady per-epoch cost a full "
+              "2000-epoch protocol run costs ~%.0f s vs the reference's "
+              "%.1f s converged (>=%.1fx)"
               % (name, init_s, train_s, epochs, per_epoch, test_s,
                  per_epoch * 2000 + init_s + test_s, ref_s,
                  ref_s / (per_epoch * 2000 + init_s + test_s)))
