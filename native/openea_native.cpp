@@ -362,4 +362,159 @@ int64_t* openea_sort_unique_i64(const int64_t* keys, int64_t n,
 
 void openea_buf_free(void* p) { free(p); }
 
+// ---- batch Levenshtein-ratio matrix ---------------------------------------
+//
+// python-Levenshtein's ratio(a, b) equals (|a|+|b| - D2)/(|a|+|b|) with D2
+// the edit distance under substitution cost 2, i.e. 2*LCS(a,b)/(|a|+|b|).
+// IMUSE's unsupervised bootstrap scores every (value1, value2) pair of
+// entities sharing an aligned attribute (reference imuse.py:42-100, an
+// 8-way python pool); at 100K that is ~10^8 ratios and python-level
+// looping costs hours where this threaded C++ LCS fills the full
+// [m1, m2] matrix in seconds.  Strings arrive as one concatenated byte
+// blob + offsets per side; out must hold m1*m2 floats.
+namespace lcs_impl {
+
+// plain row DP (any length)
+inline int lcs_dp(const char* a, int la, const char* b, int lb,
+                  std::vector<int32_t>& dp) {
+  dp.assign(static_cast<size_t>(lb) + 1, 0);
+  for (int x = 0; x < la; ++x) {
+    int32_t diag = 0;
+    const char ca = a[x];
+    for (int y = 0; y < lb; ++y) {
+      const int32_t up = dp[y + 1];
+      dp[y + 1] = (ca == b[y]) ? diag + 1 : std::max(up, dp[y]);
+      diag = up;
+    }
+  }
+  return dp[lb];
+}
+
+// Allison-Dix bit-parallel LCS for |a| <= 64: row bits clear as matches
+// accumulate; LCS = popcount of cleared bits.  ~5x the DP at the 6-12
+// char value strings IMUSE scores (validated bit-exact vs the DP by
+// tests/test_attr_family.py + the python-Levenshtein parity test).
+inline int lcs_bits(const uint64_t* pm, int la, const char* b, int lb) {
+  // la <= 63 only: with la == 64 the (r + u) carry out of bit 63 would
+  // be lost where the algorithm needs it to propagate
+  const uint64_t ones = (1ULL << la) - 1ULL;
+  uint64_t r = ones;
+  for (int y = 0; y < lb; ++y) {
+    const uint64_t m = pm[static_cast<unsigned char>(b[y])];
+    const uint64_t u = r & m;
+    r = (r + u) | (r - u);
+    r &= ones;
+  }
+  return la - __builtin_popcountll(r);
+}
+
+}  // namespace lcs_impl
+
+void openea_lev_ratio_matrix(const char* blob1, const int64_t* off1,
+                             int64_t m1, const char* blob2,
+                             const int64_t* off2, int64_t m2, float* out) {
+  int nt = static_cast<int>(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  if (nt > 8) nt = 8;
+  if (m1 * m2 < 1 << 16) nt = 1;
+  std::vector<std::thread> th;
+  for (int t = 0; t < nt; ++t) {
+    th.emplace_back([&, t]() {
+      std::vector<int32_t> dp;
+      uint64_t pm[256];
+      for (int64_t i = m1 * t / nt; i < m1 * (t + 1) / nt; ++i) {
+        const char* a = blob1 + off1[i];
+        const int la = static_cast<int>(off1[i + 1] - off1[i]);
+        const bool bits = la > 0 && la <= 63;
+        if (bits) {
+          std::memset(pm, 0, sizeof(pm));
+          for (int x = 0; x < la; ++x)
+            pm[static_cast<unsigned char>(a[x])] |= 1ULL << x;
+        }
+        for (int64_t j = 0; j < m2; ++j) {
+          const char* b = blob2 + off2[j];
+          const int lb = static_cast<int>(off2[j + 1] - off2[j]);
+          if (la == 0 && lb == 0) {
+            out[i * m2 + j] = 1.0f;   // Levenshtein.ratio('','') == 1.0
+            continue;
+          }
+          const int lcs = bits ? lcs_impl::lcs_bits(pm, la, b, lb)
+                               : lcs_impl::lcs_dp(a, la, b, lb, dp);
+          out[i * m2 + j] = 2.0f * static_cast<float>(lcs) /
+                            static_cast<float>(la + lb);
+        }
+      }
+    });
+  }
+  for (auto& x : th) x.join();
+}
+
+// ---- IMUSE score accumulation ---------------------------------------------
+//
+// S[rowpos[i], colpos[j]] += M[rowval[i], colval[j]]; C[..] += 1 — the
+// per-attribute block accumulation of _align_entities_vectorized.  The
+// numpy np.ix_ formulation re-gathers and re-scatters multi-GB temps
+// through this VM's ~1 GB/s single-thread memory path; threading rows
+// here makes the whole accumulation memory-bound across cores.
+void openea_imuse_accumulate(const float* M, int64_t m2u,
+                             const int64_t* rowpos, const int64_t* rowval,
+                             int64_t n_rows, const int64_t* colpos,
+                             const int64_t* colval, int64_t n_cols,
+                             float* S, int16_t* C, int64_t n2a) {
+  int nt = static_cast<int>(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  if (nt > 8) nt = 8;
+  if (n_rows * n_cols < 1 << 18) nt = 1;
+  std::vector<std::thread> th;
+  for (int t = 0; t < nt; ++t) {
+    th.emplace_back([&, t]() {
+      for (int64_t i = n_rows * t / nt; i < n_rows * (t + 1) / nt; ++i) {
+        const float* mi = M + rowval[i] * m2u;
+        float* si = S + rowpos[i] * n2a;
+        int16_t* ci = C + rowpos[i] * n2a;
+        for (int64_t j = 0; j < n_cols; ++j) {
+          si[colpos[j]] += mi[colval[j]];
+          ci[colpos[j]] += 1;
+        }
+      }
+    });
+  }
+  for (auto& x : th) x.join();
+}
+
+// mean-of-counts + row argmax in one threaded pass: best_j[i], best_sim[i]
+// = argmax_j / max_j of S[i,j]/C[i,j] over j with C[i,j] > 0 (-1 when a
+// row has no candidates).  Ties keep the lowest j.  Replaces ~170 GB of
+// numpy divide/mask/argmax passes over the IMUSE block slabs.
+void openea_imuse_best(const float* S, const int16_t* C, int64_t n_rows,
+                       int64_t n2a, int64_t* best_j, float* best_sim) {
+  int nt = static_cast<int>(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  if (nt > 8) nt = 8;
+  if (n_rows * n2a < 1 << 18) nt = 1;
+  std::vector<std::thread> th;
+  for (int t = 0; t < nt; ++t) {
+    th.emplace_back([&, t]() {
+      for (int64_t i = n_rows * t / nt; i < n_rows * (t + 1) / nt; ++i) {
+        const float* si = S + i * n2a;
+        const int16_t* ci = C + i * n2a;
+        float best = -1.0f;
+        int64_t bj = -1;
+        for (int64_t j = 0; j < n2a; ++j) {
+          if (ci[j] > 0) {
+            const float v = si[j] / static_cast<float>(ci[j]);
+            if (v > best) {
+              best = v;
+              bj = j;
+            }
+          }
+        }
+        best_j[i] = bj;
+        best_sim[i] = best;
+      }
+    });
+  }
+  for (auto& x : th) x.join();
+}
+
 }  // extern "C"

@@ -84,6 +84,24 @@ def get_lib():
                 p64, ctypes.c_int64, p64]
         except AttributeError:
             pass
+        try:
+            p64 = ctypes.POINTER(ctypes.c_int64)
+            pf32 = ctypes.POINTER(ctypes.c_float)
+            lib.openea_lev_ratio_matrix.restype = None
+            lib.openea_lev_ratio_matrix.argtypes = [
+                ctypes.c_char_p, p64, ctypes.c_int64,
+                ctypes.c_char_p, p64, ctypes.c_int64, pf32]
+            lib.openea_imuse_accumulate.restype = None
+            lib.openea_imuse_accumulate.argtypes = [
+                pf32, ctypes.c_int64, p64, p64, ctypes.c_int64,
+                p64, p64, ctypes.c_int64, pf32,
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64]
+            lib.openea_imuse_best.restype = None
+            lib.openea_imuse_best.argtypes = [
+                pf32, ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+                ctypes.c_int64, p64, pf32]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
@@ -132,6 +150,84 @@ def counting_argsort(keys: np.ndarray, n_keys: int) -> Optional[np.ndarray]:
         ctypes.c_int64(len(keys)), ctypes.c_int64(int(n_keys)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return out if rc == 0 else None
+
+
+def lev_ratio_matrix(strs1, strs2) -> Optional[np.ndarray]:
+    """[m1, m2] float32 of Levenshtein.ratio(a, b) for every pair, via
+    the threaded native LCS kernel (ratio == 2*LCS/(|a|+|b|), exactly
+    python-Levenshtein's value).  None when the native lib is absent —
+    callers fall back to per-pair python ratios."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "openea_lev_ratio_matrix"):
+        return None
+
+    def pack(strs):
+        bs = [s.encode("utf-8") for s in strs]
+        off = np.zeros(len(bs) + 1, np.int64)
+        np.cumsum([len(b) for b in bs], out=off[1:])
+        return b"".join(bs), off
+
+    blob1, off1 = pack(strs1)
+    blob2, off2 = pack(strs2)
+    m1, m2 = len(strs1), len(strs2)
+    out = np.empty((m1, m2), np.float32)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    pf32 = ctypes.POINTER(ctypes.c_float)
+    lib.openea_lev_ratio_matrix(
+        ctypes.c_char_p(blob1), off1.ctypes.data_as(p64),
+        ctypes.c_int64(m1), ctypes.c_char_p(blob2),
+        off2.ctypes.data_as(p64), ctypes.c_int64(m2),
+        out.ctypes.data_as(pf32))
+    return out
+
+
+def imuse_accumulate(M: np.ndarray, rowpos, rowval, colpos, colval,
+                     S: np.ndarray, C: np.ndarray) -> bool:
+    """S[rowpos[i], colpos[j]] += M[rowval[i], colval[j]]; C += 1 —
+    threaded native scatter-accumulate for the IMUSE bootstrap blocks
+    (numpy's np.ix_ formulation re-gathers/re-scatters multi-GB temps).
+    Returns False when the native lib is absent."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "openea_imuse_accumulate"):
+        return False
+    M = np.ascontiguousarray(M, np.float32)
+    assert S.dtype == np.float32 and C.dtype == np.int16
+    assert S.flags.c_contiguous and C.flags.c_contiguous
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    pf32 = ctypes.POINTER(ctypes.c_float)
+    p16 = ctypes.POINTER(ctypes.c_int16)
+    a = [np.ascontiguousarray(x, np.int64)
+         for x in (rowpos, rowval, colpos, colval)]
+    lib.openea_imuse_accumulate(
+        M.ctypes.data_as(pf32), ctypes.c_int64(M.shape[1]),
+        a[0].ctypes.data_as(p64), a[1].ctypes.data_as(p64),
+        ctypes.c_int64(len(a[0])), a[2].ctypes.data_as(p64),
+        a[3].ctypes.data_as(p64), ctypes.c_int64(len(a[2])),
+        S.ctypes.data_as(pf32), C.ctypes.data_as(p16),
+        ctypes.c_int64(S.shape[1]))
+    return True
+
+
+def imuse_best(S: np.ndarray, C: np.ndarray):
+    """(best_j [n], best_sim [n]): per-row argmax of S/C over C>0 in one
+    threaded pass (ties -> lowest j; rows with no candidates -> (-1,
+    -1.0)).  None when the native lib is absent."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "openea_imuse_best"):
+        return None
+    assert S.dtype == np.float32 and C.dtype == np.int16
+    assert S.flags.c_contiguous and C.flags.c_contiguous
+    n, n2a = S.shape
+    best_j = np.empty(n, np.int64)
+    best_sim = np.empty(n, np.float32)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    pf32 = ctypes.POINTER(ctypes.c_float)
+    p16 = ctypes.POINTER(ctypes.c_int16)
+    lib.openea_imuse_best(S.ctypes.data_as(pf32), C.ctypes.data_as(p16),
+                          ctypes.c_int64(n), ctypes.c_int64(n2a),
+                          best_j.ctypes.data_as(p64),
+                          best_sim.ctypes.data_as(pf32))
+    return best_j, best_sim
 
 
 def sort_unique_i64(keys: np.ndarray) -> Optional[np.ndarray]:

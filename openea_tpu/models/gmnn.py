@@ -161,8 +161,28 @@ class GMNN(BasicModel):
         self.params = p
         self.d = d
         self.ad = ad
-        self.opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
-        self.opt_state = self.opt.init(self.params)
+        # OPT-IN lazy Adam for word_em (touched rows only, global-step
+        # bias correction — tf.train.AdamOptimizer._apply_sparse
+        # semantics, gmnn.py:1536-1540): removes ~25% of the 100K step
+        # cost (the dense update streams the full 35.6 MB table 6x per
+        # step x 90.5K steps/epoch — run/probe_gmnn.py).  Default OFF:
+        # on the hard synthetic tier the lazy trajectory converges
+        # measurably slower (H@1 19.7 -> 9.2 at 30 epochs), because
+        # dense Adam's between-touch momentum keeps moving rare rows.
+        # The other params keep dense Adam either way; the reference's
+        # global-norm clip (1.0) spans ALL grads before either update.
+        self._lazy_we = bool(a.get("lazy_word_adam", False))
+        if self._lazy_we:
+            self.opt = optax.adam(1e-3)
+            rest = {k: v for k, v in p.items() if k != "word_em"}
+            self.opt_state = (self.opt.init(rest),
+                              jnp.zeros_like(p["word_em"]),
+                              jnp.zeros_like(p["word_em"]),
+                              jnp.zeros((), jnp.int32))
+        else:
+            self.opt = optax.chain(optax.clip_by_global_norm(1.0),
+                                   optax.adam(1e-3))
+            self.opt_state = self.opt.init(self.params)
         self._step_c = None
         self._prob_c = None
 
@@ -329,8 +349,43 @@ class GMNN(BasicModel):
             return jnp.mean(ce)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        if not self._lazy_we:
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        rest_state, m_we, v_we, cnt = opt_state
+        # reference clip_by_global_norm(1.0) across ALL grads
+        gn = optax.global_norm(grads)
+        scale = 1.0 / jnp.maximum(gn, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        g_we = grads.pop("word_em")
+        rest_p = {k: v for k, v in params.items() if k != "word_em"}
+        updates, rest_state = opt.update(grads, rest_state, rest_p)
+        rest_p = optax.apply_updates(rest_p, updates)
+
+        # lazy Adam on the touched word rows only.  Touched rows = the
+        # token ids of both subgraphs' node names; duplicates are fine
+        # without dedup because every occurrence of a row computes the
+        # IDENTICAL new value (same gathered m/v/g), so .set writes
+        # agree.
+        tok_mat = jnp.asarray(self._tok_mat)
+        nodes = jnp.asarray(self._sub_nodes)
+        rows = jnp.concatenate([tok_mat[nodes[e1]].reshape(-1),
+                                tok_mat[nodes[e2]].reshape(-1)])
+        b1, b2, lr, eps = 0.9, 0.999, 1e-3, 1e-8
+        cnt = cnt + 1
+        t = cnt.astype(jnp.float32)
+        g_rows = g_we[rows]
+        m_rows = b1 * m_we[rows] + (1.0 - b1) * g_rows
+        v_rows = b2 * v_we[rows] + (1.0 - b2) * jnp.square(g_rows)
+        lr_t = lr * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        new_rows = params["word_em"][rows] - lr_t * m_rows / (
+            jnp.sqrt(v_rows) + eps)
+        word_em = params["word_em"].at[rows].set(new_rows)
+        m_we = m_we.at[rows].set(m_rows)
+        v_we = v_we.at[rows].set(v_rows)
+        rest_p["word_em"] = word_em
+        return rest_p, (rest_state, m_we, v_we, cnt), loss
 
     def _make_step(self):
         return jax.jit(self._step_core, donate_argnums=(0, 1))

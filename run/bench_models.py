@@ -18,6 +18,9 @@ Usage:  python run/bench_models.py <case>
   attre_100k      20-epoch probe vs 7387.1 s (north-star row)
   sea_100k        20-epoch probe vs ~1504.7 s
   jape_100k       20-epoch probe vs ~6494.2 s
+  imuse_100k      20-epoch probe vs ~935.9 s (incl attr bootstrap init)
+  kdcoe_100k      2 co-training iterations vs ~7838.5 s
+  rsn4ea_100k     4-epoch probe vs ~7206.3 s (incl path sampling)
   dbp2            DBP2.0-scale MTransEV2 full protocol vs 16287.9 s (~10 min)
 
 Each case synthesizes an OpenEA-shaped KG pair (the image ships no real
@@ -279,6 +282,73 @@ def main(case):
               "train %.1f s (60 of 2000 epochs), test %.1f s.  Reference "
               "converged run: 6,632.5 s" % (init_s, train_s,
                                             time.time() - t0))
+    elif case == "imuse_100k":
+        # 20-epoch probe (reference EN-FR 100K V1 ~935.9 s converged).
+        # Init covers the unsupervised Levenshtein attribute bootstrap.
+        vals = get_preset_dict("imuse", "100K")
+        vals.update(is_save=False, seed=1, max_epoch=20, start_valid=1000,
+                    eval_freq=1000)
+        m = get_model("IMUSE")()
+        m.set_args(Args(vals))
+        m.set_kgs(pair_100k("sharing", attrs=True))
+        t0 = time.time()
+        m.init()
+        init_s = time.time() - t0
+        t0 = time.time()
+        m.run()
+        train_s = time.time() - t0
+        t0 = time.time()
+        m.test(save=False)
+        print("RESULT IMUSE 100K: init %.1f s (incl unsupervised attr "
+              "bootstrap), train %.1f s (20 of 2000 epochs, %.2f s/epoch "
+              "incl compile), test %.1f s.  Reference converged run: "
+              "~935.9 s" % (init_s, train_s, train_s / 20,
+                            time.time() - t0))
+    elif case == "kdcoe_100k":
+        # 2 co-training iterations (reference EN-FR 100K V1 ~7,838.5 s
+        # converged): each iteration = desc-encoder epochs + pair
+        # proposal + rel/mapping epochs + proposal.
+        vals = get_preset_dict("kdcoe", "100K")
+        vals.update(is_save=False, seed=1, max_iter=2, start_valid=1000,
+                    eval_freq=1000)
+        m = get_model("KDCoE")()
+        m.set_args(Args(vals))
+        m.set_kgs(pair_100k("mapping", attrs=True))
+        t0 = time.time()
+        m.init()
+        init_s = time.time() - t0
+        t0 = time.time()
+        m.run()
+        train_s = time.time() - t0
+        t0 = time.time()
+        m.test(save=False)
+        print("RESULT KDCoE 100K: init %.1f s (desc tokenize + encode "
+              "setup), train %.1f s (2 co-training iterations, %.1f "
+              "s/iter incl compile), test %.1f s.  Reference converged "
+              "run: ~7,838.5 s" % (init_s, train_s, train_s / 2,
+                                   time.time() - t0))
+    elif case == "rsn4ea_100k":
+        # 4 of the preset's 30 epochs (reference EN-FR 100K V1 ~7,206.3 s
+        # converged).  Init covers the biased-walk path sampling (disk-
+        # cached like the reference after the first run).
+        vals = get_preset_dict("rsn4ea", "100K")
+        vals.update(is_save=False, seed=1, max_epoch=4, start_valid=1000,
+                    eval_freq=1000)
+        m = get_model("RSN4EA")()
+        m.set_args(Args(vals))
+        m.set_kgs(pair_100k("mapping"))
+        t0 = time.time()
+        m.init()
+        init_s = time.time() - t0
+        t0 = time.time()
+        m.run()
+        train_s = time.time() - t0
+        t0 = time.time()
+        m.test(save=False)
+        print("RESULT RSN4EA 100K: init %.1f s (incl path sampling), "
+              "train %.1f s (4 of 30 epochs, %.1f s/epoch incl compile), "
+              "test %.1f s.  Reference converged run: ~7,206.3 s"
+              % (init_s, train_s, train_s / 4, time.time() - t0))
     elif case == "gmnn_100k":
         # capacity probe at the 100K shape (VERDICT r3 #9): memory plan
         # for the padded [E, N]/[E, N, S] subgraph tensors, subgraph +

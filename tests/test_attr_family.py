@@ -83,3 +83,35 @@ def test_imuse_e2e_learns():
         start_valid=1000, eval_freq=1000)
     hits1, mrr = test_hits1(model)
     assert hits1 > 20.0
+
+
+def test_imuse_vectorized_matches_pooled_worker():
+    """The native-matrix scoring path returns the same (e1, e2, sim)
+    rows as the python worker loop (modulo exact-tie argmax order),
+    on a random attribute landscape with repeated values."""
+    import numpy as np
+    from openea_tpu.models.imuse import (_align_entities_vectorized,
+                                         _ea_worker, _first_value_dict)
+    rng = np.random.RandomState(5)
+    trip1, trip2 = set(), set()
+    for e in range(60):
+        for a in rng.choice(8, 3, replace=False):
+            trip1.add((e, int(a), "v%d_%d" % (a, rng.randint(20))))
+    for e in range(70):
+        for a in rng.choice(8, 3, replace=False):
+            trip2.add((e, int(a), "v%d_%d" % (a, rng.randint(20))))
+    ea1, eav1 = _first_value_dict(trip1)
+    ea2, eav2 = _first_value_dict(trip2)
+    pairs = [(1, 1), (3, 3), (5, 4)]
+    th = 0.55
+    vec = _align_entities_vectorized(ea1, eav1, ea2, eav2, pairs, th)
+    assert vec is not None, "native lev kernel missing"
+    by2 = {}
+    for e2, attrs in ea2.items():
+        for a2 in attrs:
+            by2.setdefault(a2, set()).add(e2)
+    ref = _ea_worker(list(ea1.items()), ea2, eav1, eav2, by2, pairs, th)
+    # same e1 set and same best SIM per e1 (tie targets may differ)
+    vec_sim = {e1: round(s, 5) for e1, _, s in vec}
+    ref_sim = {e1: round(s, 5) for e1, _, s in ref}
+    assert vec_sim == ref_sim

@@ -138,3 +138,27 @@ def test_gmnn_e2e_learns():
     # identical names make gold candidates highly rankable
     assert np.isfinite(mrr)
     assert hits1 > 30.0
+
+
+def test_gmnn_lazy_word_adam_learns():
+    """Opt-in lazy word-table Adam (TF1 _apply_sparse semantics): the
+    step runs, loss is finite, ONLY touched word rows move, and the
+    optimizer state carries the global step count."""
+    import jax.numpy as jnp
+    model, kgs = run_model(
+        "GMNN", "mapping", epochs=2, kgs=gmnn_kgs(), lazy_word_adam=True,
+        cand_size=10, word_embedding_dim=16, hidden_layer_dim=16,
+        aggregator_dim_first=16, cosine_MP_dim=4, word_size_max=1,
+        sample_size_per_layer=1, dev_batch_size=20, batch_size=40,
+        subgraph_size=8, start_valid=1000, eval_freq=1000,
+        stop_metric="hits1")
+    rest_state, m_we, v_we, cnt = model.opt_state
+    assert int(cnt) > 0
+    # rows never touched by any name token keep zero Adam state
+    touched = np.zeros(m_we.shape[0], bool)
+    touched[np.asarray(model._tok_mat).reshape(-1)] = True
+    untouched = ~touched
+    if untouched.any():
+        assert float(jnp.abs(jnp.asarray(m_we)[untouched]).max()) == 0.0
+    assert touched.any()
+    assert float(jnp.abs(jnp.asarray(m_we)[touched]).max()) > 0.0

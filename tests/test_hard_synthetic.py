@@ -229,7 +229,11 @@ RDGCN_HARD_KW = dict(
 
 def test_rdgcn_mesh_hard_tier_floor():
     """Same halved convergence floor for the 8-device mesh RDGCN run
-    (attention boundary-exchange path)."""
+    (attention boundary-exchange path).  10 epochs, not the
+    single-device test's 30: mesh epochs cost ~15x on the shared-core
+    virtual devices and the measured H@1 is already 33.3 at 10 (= the
+    16- and 30-epoch values — name-vector init converges this tier
+    fast), so the shorter run gates the same floor at 1/3 the wall."""
     import jax
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
@@ -237,7 +241,7 @@ def test_rdgcn_mesh_hard_tier_floor():
                              num_triples=1500, train_frac=0.3,
                              num_attributes=30, seed=13, hard=True,
                              train_noise=0.05, mode="mapping")
-    m, _ = run_model("RDGCN", "mapping", epochs=30, kgs=kgs,
+    m, _ = run_model("RDGCN", "mapping", epochs=10, kgs=kgs,
                      use_mesh=True, **RDGCN_HARD_KW)
     assert m.mesh is not None and m.mesh.size == 8
     h1, mrr = test_hits1(m)
