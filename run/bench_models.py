@@ -19,6 +19,7 @@ Usage:  python run/bench_models.py <case>
   sea_100k        20-epoch probe vs ~1504.7 s
   jape_100k       20-epoch probe vs ~6494.2 s
   imuse_100k      20-epoch probe vs ~935.9 s (incl attr bootstrap init)
+  kge_100k        KGE-zoo capacity probe (TransH/RotatE/ConvE, 6 epochs)
   kdcoe_100k      2 co-training iterations vs ~7838.5 s
   rsn4ea_100k     4-epoch probe vs ~7206.3 s (incl path sampling)
   dbp2            DBP2.0-scale MTransEV2 full protocol vs 16287.9 s (~10 min)
@@ -349,6 +350,34 @@ def main(case):
               "train %.1f s (4 of 30 epochs, %.1f s/epoch incl compile), "
               "test %.1f s.  Reference converged run: ~7,206.3 s"
               % (init_s, train_s, train_s / 4, time.time() - t0))
+    elif case == "kge_100k":
+        # capacity probe for the KGE zoo at 100K (the reference's
+        # docs/detailed_results_unexplored_models_100K.csv has no
+        # runtime column, so these rows are capacity proof + per-epoch
+        # cost, not speedup claims).  Representative scorers: TransH
+        # (hyperplane projection), RotatE (complex rotation), ConvE
+        # (conv + NCE over all entities).
+        kgs = pair_100k("sharing")
+        for name, preset in (("TransH", "transh"), ("RotatE", "rotate"),
+                             ("ConvE", "conve")):
+            vals = get_preset_dict(preset, "100K")
+            vals.update(is_save=False, seed=1, max_epoch=6,
+                        start_valid=1000, eval_freq=1000)
+            m = get_model(name)()
+            m.set_args(Args(vals))
+            m.set_kgs(kgs)
+            t0 = time.time()
+            m.init()
+            init_s = time.time() - t0
+            t0 = time.time()
+            m.run()
+            train_s = time.time() - t0
+            t0 = time.time()
+            m.test(save=False)
+            print("RESULT %s 100K: init %.1f s, 6 epochs %.1f s "
+                  "(%.2f s/epoch incl compile), test %.1f s"
+                  % (name, init_s, train_s, train_s / 6,
+                     time.time() - t0))
     elif case == "gmnn_100k":
         # capacity probe at the 100K shape (VERDICT r3 #9): memory plan
         # for the padded [E, N]/[E, N, S] subgraph tensors, subgraph +
