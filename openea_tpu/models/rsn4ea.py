@@ -204,19 +204,32 @@ class RSN4EA(BasicModel):
         kb, self._rel_vocab = build_joint_kb(self.kgs)
         E = self.kgs.max_entities_id
         self.E = E
-        cache = "%spaths_%.1f_%.1f.npy" % (str(a.training_data), a.alpha, a.beta)
-        if os.path.exists(cache):
+        # legacy reference-style cache file (rsn4ea.py:225-233) is still
+        # honored; new entries go through the content-keyed mining cache
+        # (a folder-name key can serve stale walks when the dataset or a
+        # mining knob changes — the digest cannot)
+        legacy = "%spaths_%.1f_%.1f.npy" % (str(a.training_data), a.alpha,
+                                            a.beta)
+        if os.path.exists(legacy):
             print("load existing training sequences")
-            self._train_data = np.load(cache)
+            self._train_data = np.load(legacy)
         else:
-            t = time.time()
-            self._train_data = sample_paths(kb, self.kgs, a.alpha, a.beta,
-                                            a.max_length, E, seed=a.seed)
-            print("path sampling costs {:.1f} s".format(time.time() - t))
-            try:
-                np.save(cache, self._train_data)
-            except OSError:
-                pass
+            from openea_tpu.data import mining_cache as mc
+
+            def build():
+                t = time.time()
+                out = sample_paths(kb, self.kgs, a.alpha, a.beta,
+                                   a.max_length, E, seed=a.seed)
+                print("path sampling costs {:.1f} s".format(time.time() - t))
+                return {"train_data": out}
+
+            kb_key = kb.to_numpy() if hasattr(kb, "to_numpy") \
+                else np.asarray(kb)
+            self._train_data = mc.cached(
+                "rsn4ea_walks",
+                (kb_key, float(a.alpha), float(a.beta),
+                 int(a.max_length), E, int(a.seed)),
+                build, args=a, names=("train_data",))["train_data"]
 
         h = int(a.hidden_size)
         L = int(a.num_layers)
