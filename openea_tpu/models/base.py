@@ -176,6 +176,25 @@ class BasicModel:
                                    self._pshard)
         return jax.device_put(opt_state, osh), osh
 
+    def _dev_cached(self, tag: str, version, arr) -> jax.Array:
+        """Device-resident cache for per-epoch input arrays.
+
+        Host->device uploads over the axon tunnel run at ~10 MB/s — a
+        re-uploaded 8 MB batch-rows array costs ~1 s PER EPOCH CALL
+        (measured r5: MultiKE's rel view was 1.27 s/epoch of which
+        ~1.0 s was re-uploading the same static rows).  Keyed on (tag,
+        version, shape): bump `version` whenever the host array's
+        CONTENT changes (e.g. after a predicate-alignment refresh) —
+        shape changes re-upload automatically."""
+        if not hasattr(self, "_dev_arr_cache"):
+            self._dev_arr_cache = {}
+        arr = np.asarray(arr)
+        key = (version, arr.shape, str(arr.dtype))
+        hit = self._dev_arr_cache.get(tag)
+        if hit is None or hit[0] != key:
+            self._dev_arr_cache[tag] = (key, jnp.asarray(arr))
+        return self._dev_arr_cache[tag][1]
+
     def _jit_custom(self, fn, n_extra: int, osh, n_out_extra: int = 1):
         """jit (params, opt_state, *data) -> (params, opt_state,
         *outputs) with mesh shardings when mesh training is on."""

@@ -248,9 +248,15 @@ class MultiKE(BasicModel):
     # ------------------------------------------------------------------ #
 
     def _run_epoch(self, fn_name: str, loss_fn, rows: np.ndarray, bsz: int,
-                   needs_key: bool = False, label: str = ""):
+                   needs_key: bool = False, label: str = "",
+                   version: int = 0):
         """rows [N, k] -> shuffled padded scan of `loss_fn(params, batch,
-        weights, key)`; weights mask the padding."""
+        weights, key)`; weights mask the padding.
+
+        ``version``: content version of ``rows`` for the device cache —
+        callers bump it when a host-side refresh (predicate alignment)
+        rewrites the rows without changing their shape; static rows
+        upload once per run instead of ~1 s/call over the tunnel."""
         n = len(rows)
         if n == 0:
             return
@@ -289,9 +295,12 @@ class MultiKE(BasicModel):
             self._fns[cache_key] = self._jit_custom(
                 epoch, 3, self._osh.get(fn_name))
         self.key, k = jax.random.split(self.key)
-        w = np.ones(n, np.float32)
+        rows_dev = self._dev_cached("rows:" + fn_name, version, rows)
+        # the weights are always ones (padding is masked by idx tiling) —
+        # generate on device, never upload
+        w_dev = jnp.ones(n, jnp.float32)
         self.params, opt_state, loss = self._fns[cache_key](
-            self.params, opt_state, k, jnp.asarray(rows), jnp.asarray(w))
+            self.params, opt_state, k, rows_dev, w_dev)
         self._opts[fn_name] = (opt, opt_state)
         print("epoch {}, avg. loss: {:.4f}, time: {:.4f}s"
               .format(label, float(loss) / n, time.time() - start))
@@ -319,17 +328,21 @@ class MultiKE(BasicModel):
         c2 = ents2_c[jax.random.randint(
             k3, (batch.shape[0], num_neg), 0, ents2_c.shape[0])]
         cand = jnp.where(memb_c[batch[:, 0:1]] == 0, c1, c2)
-        nh = jnp.where(coin, cand, batch[:, 0:1]).reshape(-1)
-        nt = jnp.where(coin, batch[:, 2:3], cand).reshape(-1)
-        nr = jnp.repeat(batch[:, 1], num_neg)
-        nhs, nrs, nts = rv[nh], rel[nr], rv[nt]
 
         def e(h, r, t):
             return jnp.sum(jnp.square(h + r - t), axis=1)
 
+        # structured negatives (the r2 base-model trick): only the
+        # CORRUPTED entity is gathered — ||c + r - t||^2 = ||c - (t-r)||^2
+        # and ||h + r - c||^2 = ||(h+r) - c||^2, so the uncorrupted side
+        # rides the positive gathers instead of being re-gathered (and
+        # scatter-added in the backward) num_neg times per row
+        cand_rows = rv[cand.reshape(-1)].reshape(-1, num_neg, rv.shape[1])
+        y = jnp.where(coin[..., None], (pts - prs)[:, None, :],
+                      (phs + prs)[:, None, :])
+        e_neg = jnp.sum(jnp.square(cand_rows - y), axis=-1)  # [B, num_neg]
         loss = (jnp.sum(jax.nn.softplus(e(phs, prs, pts)) * wb)
-                + jnp.sum(jax.nn.softplus(-e(nhs, nrs, nts))
-                          * jnp.repeat(wb, num_neg)))
+                + jnp.sum(jax.nn.softplus(-e_neg) * wb[:, None]))
         f_phs, f_pts = fin[batch[:, 0]], fin[batch[:, 2]]
         loss = loss + jnp.sum(e(f_phs, prs, pts) * wb)
         loss = loss + jnp.sum(e(phs, prs, f_pts) * wb)
@@ -435,6 +448,7 @@ class MultiKE(BasicModel):
     def run(self):
         t = time.time()
         a = self.args
+        self._pa_ver = 0            # bumps on predicate-alignment refresh
         pa = self.predicate_align_model
         rel_rows = np.asarray(self.kgs.kg1.local_relation_triples_list
                               + self.kgs.kg2.local_relation_triples_list,
@@ -474,7 +488,8 @@ class MultiKE(BasicModel):
                             int(a.batch_size), label=f"{i} ckge rel")
             if i > a.start_predicate_soft_alignment:
                 self._run_epoch("ckgp_rel", self._ckgp_rel_loss, ckgp_rows,
-                                int(a.batch_size), label=f"{i} ckgp rel")
+                                int(a.batch_size), label=f"{i} ckgp rel",
+                                version=self._pa_ver)
             if use_attrs:
                 attr_rows = self._w1000(pa.attribute_triples_w_weights1
                                         + pa.attribute_triples_w_weights2)
@@ -482,7 +497,8 @@ class MultiKE(BasicModel):
                                         + pa.sup_attribute_alignment_triples2)
                 self._run_epoch("attr", self._attr_view_loss, attr_rows,
                                 int(a.attribute_batch_size),
-                                label=f"{i} attr view")
+                                label=f"{i} attr view",
+                                version=self._pa_ver)
                 self._run_epoch("cross_name", self._cross_name_loss, ent_rows,
                                 int(a.entity_batch_size),
                                 label=f"{i} cross-name")
@@ -492,7 +508,8 @@ class MultiKE(BasicModel):
                 if i > a.start_predicate_soft_alignment:
                     self._run_epoch("ckga_attr", self._ckga_attr_loss,
                                     ckga_rows, int(a.attribute_batch_size),
-                                    label=f"{i} ckga attr")
+                                    label=f"{i} ckga attr",
+                                    version=self._pa_ver)
 
             if i >= a.start_valid and i % a.eval_freq == 0:
                 self._valid_view("rv")
@@ -504,6 +521,7 @@ class MultiKE(BasicModel):
                 if self.early_stop or i == a.max_epoch:
                     break
             if i >= a.start_predicate_soft_alignment and i % 10 == 0:
+                self._pa_ver += 1
                 pa.update_predicate_alignment(
                     np.asarray(self._t(self.params, "rel_embeds")))
                 if use_attrs:
